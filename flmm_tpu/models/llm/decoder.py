@@ -1,0 +1,299 @@
+"""Unified Llama-family decoder with fused text->image attention capture.
+
+One implementation covers every LLM the reference wraps -- Llama/Vicuna
+(LLaVA, MGM), DeepSeek-LLM (DeepSeekVL), Mistral (LLaVA-Next, MGM) and
+Gemma (MGM) are all RoPE decoders differing only in dimensions, norms and
+activations (SURVEY.md section 7).
+
+TPU-native attention capture
+----------------------------
+The reference runs HF with ``output_attentions=True`` -- eager attention
+materialising the full ``num_layers x heads x S x S`` tensor (the reason it
+pins transformers==4.39.1; reference: flmm/models/frozen_llava.py:110-114,
+README.md:24-25).  Here each layer:
+
+1. computes attention probabilities for just that layer (transient),
+2. statically slices the image-key columns ``[img_start, img_start+n_img)``,
+3. immediately contracts them with the per-mask token-merge matrix
+   (a ``(S, M)`` one-hot/mean matrix -- an MXU matmul),
+
+inside a single ``lax.scan`` over stacked layer parameters.  The only
+side output that survives is ``(L, H, M, n_img)`` -- the exact tensor the
+U-Net mask head consumes -- so peak memory is one layer's scores instead of
+all layers'.  The layer-weighted hidden-state sum (reference:
+frozen_llava.py:122-123) is likewise accumulated in the scan carry.
+
+Weights are stored stacked over layers: scan compiles the layer body once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = Any  # pytree of jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class DecoderConfig:
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-6
+    act: str = "silu"  # 'silu' (llama/mistral/deepseek) | 'gelu_tanh' (gemma)
+    embed_scale: bool = False  # gemma: scale embeds by sqrt(hidden_size)
+    gemma_norm: bool = False  # gemma rmsnorm uses (1 + w)
+    attn_bias: bool = False
+    tie_embeddings: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialisation (random; real weights come from convert/)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: DecoderConfig, key: jax.Array) -> Params:
+    ks = jax.random.split(key, 10)
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    L = cfg.num_layers
+
+    def norm_init(shape):
+        return jnp.zeros(shape, cfg.dtype) if cfg.gemma_norm else jnp.ones(shape, cfg.dtype)
+
+    def w(key, shape, fan_in):
+        return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(
+            cfg.dtype
+        )
+
+    params = {
+        "embed": w(ks[0], (cfg.vocab_size, d), d),
+        "layers": {
+            "ln1": norm_init((L, d)),
+            "ln2": norm_init((L, d)),
+            "wq": w(ks[1], (L, d, cfg.q_dim), d),
+            "wk": w(ks[2], (L, d, cfg.kv_dim), d),
+            "wv": w(ks[3], (L, d, cfg.kv_dim), d),
+            "wo": w(ks[4], (L, cfg.q_dim, d), cfg.q_dim),
+            "w_gate": w(ks[5], (L, d, f), d),
+            "w_up": w(ks[6], (L, d, f), d),
+            "w_down": w(ks[7], (L, f, d), f),
+        },
+        "final_norm": norm_init((d,)),
+    }
+    if cfg.attn_bias:
+        params["layers"]["bq"] = jnp.zeros((L, cfg.q_dim), cfg.dtype)
+        params["layers"]["bk"] = jnp.zeros((L, cfg.kv_dim), cfg.dtype)
+        params["layers"]["bv"] = jnp.zeros((L, cfg.kv_dim), cfg.dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = w(ks[8], (d, cfg.vocab_size), d)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, w: jnp.ndarray, eps: float, gemma: bool) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    scale = (1.0 + w.astype(jnp.float32)) if gemma else w.astype(jnp.float32)
+    return (x * scale).astype(dtype)
+
+
+def rope_tables(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables, HF (GPT-NeoX, non-interleaved) convention.
+
+    positions: ``(..., S)`` int32.  Returns ``(..., S, head_dim)`` f32 each.
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # (..., S, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, S, H, hd); cos/sin: (B, S, hd) or (S, hd)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    if cos.ndim == 2:
+        cos = cos[None]
+        sin = sin[None]
+    cos = cos[:, :, None, :].astype(x.dtype)
+    sin = sin[:, :, None, :].astype(x.dtype)
+    return x * cos + rotated * sin
+
+
+def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(kind)
+
+
+# ---------------------------------------------------------------------------
+# Forward with fused attention-map capture
+# ---------------------------------------------------------------------------
+
+
+def forward_capture(
+    params: Params,
+    cfg: DecoderConfig,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    img_start: int,
+    n_img: int,
+    merge_matrix: jnp.ndarray | None = None,
+    merge: str = "mean",
+    layer_weights: jnp.ndarray | None = None,
+) -> dict:
+    """Run the frozen decoder, capturing merged text->image attention.
+
+    Args:
+      inputs_embeds: ``(B, S, D)`` already-merged text+image embeddings.
+      attention_mask: ``(B, S)`` bool; False positions are padding.
+      img_start, n_img: static location of the image-token block in the
+        packed sequence (contiguous for every supported family).
+      merge_matrix: ``(B, S, M)``.  For 'mean' merge rows must already be
+        normalised per mask (see ops.masks.mean_merge_matrix); for 'max' it
+        is interpreted as a boolean membership matrix.  If None, raw
+        ``(B, L, H, S, n_img)`` attention is returned instead (generation /
+        analysis path).
+      layer_weights: ``(L,)`` f32 softmax weights; if given, the returned
+        ``hidden`` is the layer-weighted sum matching the reference's
+        ``hidden_states[-L:]`` convention (embedding excluded, final entry
+        post-final-norm; reference: frozen_llava.py:118-123).  Hidden states
+        are stop-gradient; the weights are not.
+
+    Returns dict with ``attn`` (merged ``(B, L, H, M, n_img)`` or raw),
+    ``hidden`` (``(B, S, D)`` weighted sum, f32) and ``last_hidden``
+    (``(B, S, D)`` post-norm).
+    """
+    B, S, D = inputs_embeds.shape
+    L, H, KV, hd = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    h = inputs_embeds.astype(cfg.dtype)
+    if cfg.embed_scale:
+        h = h * jnp.asarray(jnp.sqrt(float(cfg.hidden_size)), cfg.dtype)
+
+    positions = jnp.arange(S)[None, :]  # left-aligned sequences
+    cos, sin = rope_tables(positions, hd, cfg.rope_theta)
+
+    valid = attention_mask.astype(jnp.bool_)
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    allow = causal[None] & valid[:, None, :]  # (B, S, S) keys dimension last
+    bias = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[:, None]  # (B,1,S,S)
+
+    if layer_weights is None:
+        layer_weights = jnp.zeros((L,), jnp.float32)
+    # The reference's per-layer hidden states are HF's tuple[-L:]: outputs of
+    # layers 1..L where the last one is post-final-norm.  Accumulate all but
+    # the last layer inside the scan; the final (normed) term is added after.
+    scan_weights = layer_weights.at[L - 1].set(0.0)
+
+    scale = 1.0 / jnp.sqrt(float(hd))
+
+    def layer(carry, xs):
+        h, acc = carry
+        lp, w_l = xs
+        x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
+        q = x @ lp["wq"]
+        k = x @ lp["wk"]
+        v = x @ lp["wv"]
+        if cfg.attn_bias:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(B, S, H, hd)
+        k = k.reshape(B, S, KV, hd)
+        v = v.reshape(B, S, KV, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        if KV != H:
+            rep = H // KV
+            k = jnp.repeat(k, rep, axis=2)
+            v = jnp.repeat(v, rep, axis=2)
+        logits = (
+            jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+            * scale
+            + bias
+        )
+        probs = jax.nn.softmax(logits, axis=-1)  # f32
+        out = jnp.einsum(
+            "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(cfg.dtype)
+        attn_out = out.reshape(B, S, H * hd) @ lp["wo"]
+        h = h + attn_out
+
+        x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
+        mlp = (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp["w_down"]
+        h = h + mlp
+
+        img_probs = jax.lax.dynamic_slice_in_dim(probs, img_start, n_img, axis=3)
+        # (B, H, S, n_img)
+        if merge_matrix is None:
+            side = img_probs
+        elif merge == "mean":
+            side = jnp.einsum(
+                "bhsn,bsm->bhmn", img_probs, merge_matrix,
+                preferred_element_type=jnp.float32,
+            )
+        elif merge == "max":
+            member = merge_matrix > 0  # (B, S, M)
+            masked = jnp.where(
+                member[:, None, :, :, None],
+                img_probs[:, :, :, None, :],
+                jnp.finfo(jnp.float32).min,
+            )
+            side = masked.max(axis=2)  # (B, H, M, n_img)
+            side = jnp.where(side <= jnp.finfo(jnp.float32).min / 2, 0.0, side)
+        else:
+            raise ValueError(merge)
+
+        acc = acc + w_l * jax.lax.stop_gradient(h).astype(jnp.float32)
+        return (h, acc), side
+
+    stacked = params["layers"]
+    (h_final, acc), sides = jax.lax.scan(
+        layer, (h, jnp.zeros((B, S, D), jnp.float32)), (stacked, scan_weights)
+    )
+    last_hidden = rms_norm(h_final, params["final_norm"], cfg.rms_eps, cfg.gemma_norm)
+    hidden = acc + layer_weights[L - 1] * jax.lax.stop_gradient(last_hidden).astype(
+        jnp.float32
+    )
+    attn = jnp.moveaxis(sides, 0, 1)  # (B, L, ...)
+    return {"attn": attn, "hidden": hidden, "last_hidden": last_hidden}
+
+
+def logits(params: Params, cfg: DecoderConfig, last_hidden: jnp.ndarray) -> jnp.ndarray:
+    head = params["embed"].T if cfg.tie_embeddings else params["lm_head"]
+    return last_hidden @ head
+
+
+def embed_tokens(params: Params, cfg: DecoderConfig, ids: jnp.ndarray) -> jnp.ndarray:
+    return params["embed"][ids]
