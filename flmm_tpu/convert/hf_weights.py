@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from flmm_tpu.models.llm.decoder import DecoderConfig
+from flmm_tpu.models.vision.vit import ViTConfig
 
 
 def _np(x: Any) -> np.ndarray:
@@ -71,3 +72,163 @@ def llama_decoder_params(
     if not cfg.tie_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     return params
+
+
+def clip_vit_params(
+    sd: Mapping[str, Any],
+    cfg: ViTConfig,
+    prefix: str = "vision_model.",
+    dtype: Any = None,
+) -> dict:
+    """Convert an HF ``CLIPVisionModel`` state dict (LLaVA/MGM towers)."""
+    dtype = dtype or cfg.dtype
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i=i)) for i in range(L)]
+        return jnp.asarray(
+            np.stack([w.T if transpose else w for w in ws]), dtype
+        )
+
+    enc = prefix + "encoder.layers.{i}."
+    wq = stack(enc + "self_attn.q_proj.weight")
+    wk = stack(enc + "self_attn.k_proj.weight")
+    wv = stack(enc + "self_attn.v_proj.weight")
+    bq = stack(enc + "self_attn.q_proj.bias", False)
+    bk = stack(enc + "self_attn.k_proj.bias", False)
+    bv = stack(enc + "self_attn.v_proj.bias", False)
+
+    params = {
+        # HF conv kernel is (D, 3, P, P) -> HWIO
+        "patch_kernel": jnp.asarray(
+            get(prefix + "embeddings.patch_embedding.weight").transpose(2, 3, 1, 0),
+            dtype,
+        ),
+        "pos_embed": jnp.asarray(
+            get(prefix + "embeddings.position_embedding.weight"), dtype
+        ),
+        "cls_token": jnp.asarray(get(prefix + "embeddings.class_embedding"), dtype),
+        "pre_ln_w": jnp.asarray(get(prefix + "pre_layrnorm.weight"), dtype),
+        "pre_ln_b": jnp.asarray(get(prefix + "pre_layrnorm.bias"), dtype),
+        "layers": {
+            "ln1_w": stack(enc + "layer_norm1.weight", False),
+            "ln1_b": stack(enc + "layer_norm1.bias", False),
+            "ln2_w": stack(enc + "layer_norm2.weight", False),
+            "ln2_b": stack(enc + "layer_norm2.bias", False),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),
+            "bqkv": jnp.concatenate([bq, bk, bv], axis=-1),
+            "wo": stack(enc + "self_attn.out_proj.weight"),
+            "bo": stack(enc + "self_attn.out_proj.bias", False),
+            "w1": stack(enc + "mlp.fc1.weight"),
+            "b1": stack(enc + "mlp.fc1.bias", False),
+            "w2": stack(enc + "mlp.fc2.weight"),
+            "b2": stack(enc + "mlp.fc2.bias", False),
+        },
+        "final_ln_w": jnp.asarray(get(prefix + "post_layernorm.weight"), dtype),
+        "final_ln_b": jnp.asarray(get(prefix + "post_layernorm.bias"), dtype),
+    }
+    if cfg.patch_bias and prefix + "embeddings.patch_embedding.bias" in sd:
+        params["patch_bias"] = jnp.asarray(
+            get(prefix + "embeddings.patch_embedding.bias"), dtype
+        )
+    return params
+
+
+def siglip_vit_params(
+    sd: Mapping[str, Any],
+    cfg: ViTConfig,
+    prefix: str = "vision_model.",
+    dtype: Any = None,
+) -> dict:
+    """Convert an HF ``SiglipVisionModel`` state dict (HPT-1.5 tower; also the
+    layout DeepSeekVL's timm-style trunk maps onto)."""
+    dtype = dtype or cfg.dtype
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i=i)) for i in range(L)]
+        return jnp.asarray(np.stack([w.T if transpose else w for w in ws]), dtype)
+
+    enc = prefix + "encoder.layers.{i}."
+    wq = stack(enc + "self_attn.q_proj.weight")
+    wk = stack(enc + "self_attn.k_proj.weight")
+    wv = stack(enc + "self_attn.v_proj.weight")
+    bq = stack(enc + "self_attn.q_proj.bias", False)
+    bk = stack(enc + "self_attn.k_proj.bias", False)
+    bv = stack(enc + "self_attn.v_proj.bias", False)
+    return {
+        "patch_kernel": jnp.asarray(
+            get(prefix + "embeddings.patch_embedding.weight").transpose(2, 3, 1, 0),
+            dtype,
+        ),
+        "patch_bias": jnp.asarray(get(prefix + "embeddings.patch_embedding.bias"), dtype),
+        "pos_embed": jnp.asarray(
+            get(prefix + "embeddings.position_embedding.weight"), dtype
+        ),
+        "layers": {
+            "ln1_w": stack(enc + "layer_norm1.weight", False),
+            "ln1_b": stack(enc + "layer_norm1.bias", False),
+            "ln2_w": stack(enc + "layer_norm2.weight", False),
+            "ln2_b": stack(enc + "layer_norm2.bias", False),
+            "wqkv": jnp.concatenate([wq, wk, wv], axis=-1),
+            "bqkv": jnp.concatenate([bq, bk, bv], axis=-1),
+            "wo": stack(enc + "self_attn.out_proj.weight"),
+            "bo": stack(enc + "self_attn.out_proj.bias", False),
+            "w1": stack(enc + "mlp.fc1.weight"),
+            "b1": stack(enc + "mlp.fc1.bias", False),
+            "w2": stack(enc + "mlp.fc2.weight"),
+            "b2": stack(enc + "mlp.fc2.bias", False),
+        },
+        "final_ln_w": jnp.asarray(get(prefix + "post_layernorm.weight"), dtype),
+        "final_ln_b": jnp.asarray(get(prefix + "post_layernorm.bias"), dtype),
+    }
+
+
+def timm_siglip_vit_params(
+    sd: Mapping[str, Any], cfg: ViTConfig, dtype: Any = None
+) -> dict:
+    """Convert the timm-style SigLIP trunk DeepSeekVL vendors
+    (reference deepseek_vl/models/siglip_vit.py:259): fused qkv, keys like
+    ``blocks.{i}.attn.qkv.weight``; attention-pool head ignored."""
+    dtype = dtype or cfg.dtype
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i=i)) for i in range(L)]
+        return jnp.asarray(np.stack([w.T if transpose else w for w in ws]), dtype)
+
+    pos = get("pos_embed")
+    if pos.ndim == 3:
+        pos = pos[0]
+    return {
+        "patch_kernel": jnp.asarray(
+            get("patch_embed.proj.weight").transpose(2, 3, 1, 0), dtype
+        ),
+        "patch_bias": jnp.asarray(get("patch_embed.proj.bias"), dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "layers": {
+            "ln1_w": stack("blocks.{i}.norm1.weight", False),
+            "ln1_b": stack("blocks.{i}.norm1.bias", False),
+            "ln2_w": stack("blocks.{i}.norm2.weight", False),
+            "ln2_b": stack("blocks.{i}.norm2.bias", False),
+            "wqkv": stack("blocks.{i}.attn.qkv.weight"),
+            "bqkv": stack("blocks.{i}.attn.qkv.bias", False),
+            "wo": stack("blocks.{i}.attn.proj.weight"),
+            "bo": stack("blocks.{i}.attn.proj.bias", False),
+            "w1": stack("blocks.{i}.mlp.fc1.weight"),
+            "b1": stack("blocks.{i}.mlp.fc1.bias", False),
+            "w2": stack("blocks.{i}.mlp.fc2.weight"),
+            "b2": stack("blocks.{i}.mlp.fc2.bias", False),
+        },
+        "final_ln_w": jnp.asarray(get("norm.weight"), dtype),
+        "final_ln_b": jnp.asarray(get("norm.bias"), dtype),
+    }
