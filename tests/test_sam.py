@@ -1,0 +1,198 @@
+"""JAX SAM parity vs the reference torch implementation (random weights).
+
+The reference segment_anything package (torch-only) serves as the oracle;
+missing optional deps (torchvision, cv2) are stubbed so only the modeling
+code loads.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import REFERENCE, reference_available
+
+
+def _stub(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules.setdefault(name, mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_sam():
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    sys.path.insert(0, str(REFERENCE))
+    tv = _stub("torchvision")
+    tv.__path__ = []  # mark as package so submodule stubs resolve
+    _stub("torchvision.ops")
+    _stub("torchvision.ops.boxes", batched_nms=None, box_area=None)
+    _stub("torchvision.transforms")
+    _stub("torchvision.transforms.functional", resize=None, to_pil_image=None)
+    _stub("cv2")
+    from segment_anything.modeling.image_encoder import ImageEncoderViT
+    from segment_anything.modeling.prompt_encoder import PromptEncoder
+    from segment_anything.modeling.mask_decoder import MaskDecoder
+    from segment_anything.modeling.transformer import TwoWayTransformer
+
+    torch.manual_seed(0)
+    # tiny geometry: img 64, patch 16 -> grid 4; window 2; 1 global block
+    enc = ImageEncoderViT(
+        img_size=64, patch_size=16, embed_dim=32, depth=3, num_heads=4,
+        mlp_ratio=2.0, out_chans=16, qkv_bias=True, use_rel_pos=True,
+        window_size=2, global_attn_indexes=(1,),
+        norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+    ).eval()
+    # randomise rel-pos (zero-init by default)
+    with torch.no_grad():
+        for blk in enc.blocks:
+            blk.attn.rel_pos_h.normal_(0, 0.1)
+            blk.attn.rel_pos_w.normal_(0, 0.1)
+        enc.pos_embed.normal_(0, 0.02)
+    pe = PromptEncoder(
+        embed_dim=16, image_embedding_size=(4, 4), input_image_size=(64, 64),
+        mask_in_chans=8,
+    ).eval()
+    dec = MaskDecoder(
+        transformer_dim=16,
+        transformer=TwoWayTransformer(depth=2, embedding_dim=16, mlp_dim=32,
+                                      num_heads=2),
+        num_multimask_outputs=3,
+    ).eval()
+    return enc, pe, dec
+
+
+def test_image_encoder_parity(ref_sam):
+    from flmm_tpu.models.sam.image_encoder import SamEncoderConfig, forward
+    from flmm_tpu.convert.sam_weights import encoder_params
+
+    enc, _, _ = ref_sam
+    cfg = SamEncoderConfig(img_size=64, patch_size=16, embed_dim=32, depth=3,
+                           num_heads=4, mlp_ratio=2.0, out_chans=16,
+                           window_size=2, global_attn_indexes=(1,))
+    params = encoder_params(enc.state_dict(), cfg, prefix="")
+    rng = np.random.default_rng(0)
+    px = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = enc(torch.from_numpy(px.transpose(0, 3, 1, 2))).numpy()
+    got = np.asarray(forward(params, cfg, jnp.asarray(px)))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want, atol=2e-5)
+
+
+def test_prompt_encoder_parity(ref_sam):
+    from flmm_tpu.models.sam.prompt_encoder import (
+        PromptEncoderConfig, dense_pe, embed_boxes, embed_masks, no_mask_dense,
+    )
+    from flmm_tpu.convert.sam_weights import prompt_encoder_params
+
+    _, pe, _ = ref_sam
+    cfg = PromptEncoderConfig(embed_dim=16, image_embedding_size=4,
+                              input_image_size=64, mask_in_chans=8)
+    params = prompt_encoder_params(pe.state_dict(), cfg, prefix="")
+
+    boxes = np.array([[4.0, 8.0, 40.0, 60.0], [0.0, 0.0, 64.0, 64.0]],
+                     np.float32)
+    rng = np.random.default_rng(1)
+    masks = rng.standard_normal((2, 16, 16)).astype(np.float32)
+    with torch.no_grad():
+        sparse, dense = pe(points=None, boxes=torch.from_numpy(boxes),
+                           masks=torch.from_numpy(masks[:, None]))
+        ref_pe = pe.get_dense_pe().numpy()
+
+    got_sparse = np.asarray(embed_boxes(params, cfg, jnp.asarray(boxes)))
+    np.testing.assert_allclose(got_sparse, sparse.numpy(), atol=2e-5)
+    got_dense = np.asarray(embed_masks(params, cfg, jnp.asarray(masks[..., None])))
+    np.testing.assert_allclose(got_dense.transpose(0, 3, 1, 2), dense.numpy(),
+                               atol=2e-5)
+    got_pe = np.asarray(dense_pe(params, cfg))
+    np.testing.assert_allclose(got_pe.transpose(2, 0, 1), ref_pe[0], atol=2e-5)
+
+    with torch.no_grad():
+        _, dense_none = pe(points=None, boxes=torch.from_numpy(boxes), masks=None)
+    got_none = np.asarray(no_mask_dense(params, cfg, 2))
+    np.testing.assert_allclose(got_none.transpose(0, 3, 1, 2),
+                               dense_none.detach().numpy(), atol=2e-5)
+
+
+def test_mask_decoder_parity(ref_sam):
+    from flmm_tpu.models.sam.mask_decoder import MaskDecoderConfig, forward
+    from flmm_tpu.models.sam.transformer import TwoWayConfig
+    from flmm_tpu.models.sam.prompt_encoder import PromptEncoderConfig, dense_pe
+    from flmm_tpu.convert.sam_weights import (
+        mask_decoder_params, prompt_encoder_params,
+    )
+
+    _, pe, dec = ref_sam
+    cfg = MaskDecoderConfig(
+        transformer_dim=16,
+        transformer=TwoWayConfig(depth=2, embed_dim=16, num_heads=2, mlp_dim=32),
+    )
+    params = mask_decoder_params(dec.state_dict(), cfg, prefix="")
+    pcfg = PromptEncoderConfig(embed_dim=16, image_embedding_size=4,
+                               input_image_size=64, mask_in_chans=8)
+    pparams = prompt_encoder_params(pe.state_dict(), pcfg, prefix="")
+
+    rng = np.random.default_rng(2)
+    img_emb = rng.standard_normal((4, 4, 16)).astype(np.float32)
+    sparse = rng.standard_normal((3, 2, 16)).astype(np.float32)
+    dense = rng.standard_normal((3, 4, 4, 16)).astype(np.float32)
+    img_pe = np.asarray(dense_pe(pparams, pcfg))
+
+    with torch.no_grad():
+        want_masks, want_iou = dec(
+            image_embeddings=torch.from_numpy(
+                img_emb.transpose(2, 0, 1)[None]),
+            image_pe=torch.from_numpy(img_pe.transpose(2, 0, 1)[None]),
+            sparse_prompt_embeddings=torch.from_numpy(sparse),
+            dense_prompt_embeddings=torch.from_numpy(
+                dense.transpose(0, 3, 1, 2)),
+            multimask_output=False,
+        )
+    masks, iou = forward(params, cfg, jnp.asarray(img_emb),
+                         jnp.asarray(img_pe), jnp.asarray(sparse),
+                         jnp.asarray(dense))
+    got_masks = np.asarray(masks)[:, :1]
+    np.testing.assert_allclose(got_masks, want_masks.numpy(), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(iou)[:, :1], want_iou.numpy(),
+                               atol=3e-5)
+
+
+def test_mask_decoder_token_padding_isolation(ref_sam):
+    """Padded text slots must not change predictions."""
+    from flmm_tpu.models.sam.mask_decoder import MaskDecoderConfig, forward
+    from flmm_tpu.models.sam.transformer import TwoWayConfig
+    from flmm_tpu.models.sam.prompt_encoder import PromptEncoderConfig, dense_pe
+    from flmm_tpu.convert.sam_weights import (
+        mask_decoder_params, prompt_encoder_params,
+    )
+
+    _, pe, dec = ref_sam
+    cfg = MaskDecoderConfig(
+        transformer_dim=16,
+        transformer=TwoWayConfig(depth=2, embed_dim=16, num_heads=2, mlp_dim=32),
+    )
+    params = mask_decoder_params(dec.state_dict(), cfg, prefix="")
+    pcfg = PromptEncoderConfig(embed_dim=16, image_embedding_size=4,
+                               input_image_size=64, mask_in_chans=8)
+    pparams = prompt_encoder_params(pe.state_dict(), pcfg, prefix="")
+    img_pe = jnp.asarray(dense_pe(pparams, pcfg))
+
+    rng = np.random.default_rng(3)
+    img_emb = jnp.asarray(rng.standard_normal((4, 4, 16)).astype(np.float32))
+    sparse = rng.standard_normal((2, 5, 16)).astype(np.float32)
+    dense = jnp.asarray(rng.standard_normal((2, 4, 4, 16)).astype(np.float32))
+    valid = np.array([[True] * 5, [True, True, True, False, False]])
+
+    m_full, _ = forward(params, cfg, img_emb, img_pe,
+                        jnp.asarray(sparse[1:, :3]), dense[1:])
+    m_pad, _ = forward(params, cfg, img_emb, img_pe, jnp.asarray(sparse),
+                       dense, sparse_valid=jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(m_pad)[1], np.asarray(m_full)[0],
+                               atol=2e-5)
