@@ -1,0 +1,101 @@
+"""DeepSeek-VL experiment presets.
+
+Mirrors reference configs/deepseek_vl/frozen_deepseek_vl_1_3b_chat_unet_sam_l
+_refcoco_png.py (and the 7b variant) as python factories.  A ``tiny``
+preset with identical topology but toy dimensions drives the hermetic CPU
+test-suite and the multi-chip dry run.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from flmm_tpu.models.frozen.deepseek_vl import DeepseekVLGroundingConfig
+from flmm_tpu.models.llm.decoder import DecoderConfig
+from flmm_tpu.models.mask_head.refiner import SamRefinerConfig
+from flmm_tpu.models.mask_head.unet import UNetConfig
+from flmm_tpu.models.sam.image_encoder import SamEncoderConfig
+from flmm_tpu.models.sam.mask_decoder import MaskDecoderConfig
+from flmm_tpu.models.sam.prompt_encoder import PromptEncoderConfig
+from flmm_tpu.models.sam.transformer import TwoWayConfig
+from flmm_tpu.models.vision.vit import ViTConfig
+
+
+def sam_vit_l(dtype=jnp.bfloat16) -> SamRefinerConfig:
+    """SAM ViT-L refiner (reference build_sam.py:27-34)."""
+    return SamRefinerConfig(
+        encoder=SamEncoderConfig(
+            embed_dim=1024, depth=24, num_heads=16,
+            global_attn_indexes=(5, 11, 17, 23), dtype=dtype,
+        ),
+        prompt=PromptEncoderConfig(dtype=jnp.float32),
+        decoder=MaskDecoderConfig(dtype=jnp.float32),
+        use_text=True, use_mask=True, use_box=True, multimask_output=False,
+    )
+
+
+def deepseek_vl_1_3b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
+    """DeepSeek-VL-1.3B-chat grounding stack.
+
+    LLM dims per deepseek-ai/deepseek-vl-1.3b-chat (DeepSeek-LLM 1.3B:
+    24 layers x 16 heads, hidden 2048, ffn 5504, vocab 102400); tower is
+    SigLIP-L/16-384 (reference frozen_deepseek_vl.py:36-37).
+    """
+    llm = DecoderConfig(
+        vocab_size=102400, hidden_size=2048, num_layers=24, num_heads=16,
+        num_kv_heads=16, head_dim=128, intermediate_size=5504,
+        rope_theta=10000.0, rms_eps=1e-6, dtype=dtype,
+    )
+    vision = ViTConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, patch_size=16,
+        image_size=384, mlp_dim=4096, use_class_token=False,
+        act="gelu", ln_eps=1e-6, final_norm=True, dtype=dtype,
+    )
+    return DeepseekVLGroundingConfig(
+        llm=llm, vision=vision,
+        unet=UNetConfig(in_channels=24 * 16),
+        sam=sam_vit_l(dtype=dtype),
+        projector_depth=2,
+        # prompt: BOS + 'User: ' prefix tokens then 576 placeholders; the
+        # data pipeline computes the true offset and must agree.
+        img_start=5, num_img_tokens=576, clip_shape=24,
+        dtype=dtype,
+    )
+
+
+def tiny(dtype=jnp.float32, img_start: int = 3) -> DeepseekVLGroundingConfig:
+    """Toy-dimension config with the production topology (CPU-runnable)."""
+    llm = DecoderConfig(
+        vocab_size=256, hidden_size=64, num_layers=3, num_heads=4,
+        num_kv_heads=2, head_dim=16, intermediate_size=128, dtype=dtype,
+    )
+    vision = ViTConfig(
+        hidden_size=32, num_layers=2, num_heads=2, patch_size=8,
+        image_size=64, mlp_dim=64, use_class_token=False, dtype=dtype,
+    )
+    sam = SamRefinerConfig(
+        encoder=SamEncoderConfig(
+            img_size=128, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+            mlp_ratio=2.0, out_chans=16, window_size=2,
+            global_attn_indexes=(1,), dtype=dtype,
+        ),
+        prompt=PromptEncoderConfig(
+            embed_dim=16, image_embedding_size=8, input_image_size=128,
+            mask_in_chans=8, dtype=dtype,
+        ),
+        decoder=MaskDecoderConfig(
+            transformer_dim=16,
+            transformer=TwoWayConfig(depth=2, embed_dim=16, num_heads=2,
+                                     mlp_dim=32, dtype=dtype),
+            dtype=dtype,
+        ),
+        prompt_size=32, box_frame=32,
+    )
+    return DeepseekVLGroundingConfig(
+        llm=llm, vision=vision,
+        unet=UNetConfig(in_channels=3 * 4, base_channels=8,
+                        upsample_input=16),
+        sam=sam,
+        projector_depth=2, img_start=img_start, num_img_tokens=64,
+        clip_shape=8, dtype=dtype,
+    )
