@@ -1,0 +1,76 @@
+"""End-to-end grounding throughput benchmark (single chip).
+
+Measures the full F-LMM predict path on the flagship DeepSeek-VL-1.3B
+geometry with random bf16 weights: SigLIP-L/384 tower -> aligner -> frozen
+1.3B decoder with fused attention capture -> U-Net -> SAM ViT-L encoder ->
+prompt/mask decoder.  Metric: grounded images/sec/chip end-to-end
+(BASELINE.json target: >= 20 on v5e).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build(batch_size: int):
+    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
+    from flmm_tpu.data.synthetic import synthetic_batch
+    from flmm_tpu.models.frozen import deepseek_vl as model
+
+    cfg = deepseek_vl_1_3b()
+    params = model.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(
+        jnp.asarray,
+        synthetic_batch(cfg, batch_size=batch_size, seq_len=672, max_masks=8,
+                        text_tokens_per_mask=12),
+    )
+
+    @jax.jit
+    def predict(params, batch):
+        out = model.forward(params, cfg, batch)
+        return out["sam_logits"]
+
+    return predict, params, batch
+
+
+def run(batch_size: int, iters: int = 8) -> float:
+    predict, params, batch = build(batch_size)
+    # warmup + compile
+    predict(params, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = predict(params, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch_size * iters / dt
+
+
+def main():
+    target = 20.0  # images/sec/chip (BASELINE.json)
+    last_err = None
+    for bs in (8, 4, 2, 1):
+        try:
+            ips = run(bs)
+            print(json.dumps({
+                "metric": "grounded_images_per_sec_per_chip",
+                "value": round(ips, 3),
+                "unit": "img/s",
+                "vs_baseline": round(ips / target, 3),
+            }))
+            return
+        except Exception as e:  # OOM etc: retry smaller
+            last_err = e
+            print(f"bench batch={bs} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+    raise SystemExit(f"bench failed at all batch sizes: {last_err}")
+
+
+if __name__ == "__main__":
+    main()

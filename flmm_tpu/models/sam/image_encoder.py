@@ -100,7 +100,12 @@ def _rel_pos_table(rel_pos: jnp.ndarray, size: int) -> jnp.ndarray:
 
 def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
     """Windowless attention over an (B', H', W', C) tile with decomposed
-    rel-pos bias (reference image_encoder.py:224-240)."""
+    rel-pos bias (reference image_encoder.py:224-240).
+
+    For the global blocks (64x64 grid = 4096 tokens) the score tensor is
+    chunked over query rows so peak memory stays bounded -- the reference's
+    eager path materialises the full (B*heads, 4096, 4096) tensor.
+    """
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
@@ -109,20 +114,40 @@ def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
     k = k.reshape(B, H * W, nh, hd)
     v = v.reshape(B, H * W, nh, hd)
     scale = 1.0 / jnp.sqrt(float(hd))
-    logits = (
-        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        * scale
-    )
     rh = _rel_pos_table(bp["rel_pos_h"].astype(jnp.float32), H)  # (H, H, hd)
     rw = _rel_pos_table(bp["rel_pos_w"].astype(jnp.float32), W)
-    rq = q.reshape(B, H, W, nh, hd).astype(jnp.float32)
-    bias_h = jnp.einsum("byxhd,ykd->bhyxk", rq, rh)  # (B, nh, H, W, Hk)
-    bias_w = jnp.einsum("byxhd,xkd->bhyxk", rq, rw)  # (B, nh, H, W, Wk)
-    logits = logits.reshape(B, nh, H, W, H, W)
-    logits = logits + bias_h[..., :, None] + bias_w[..., None, :]
-    logits = logits.reshape(B, nh, H * W, H * W)
-    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, H * W, C)
+
+    def attend(q_rows, rh_rows):
+        """q_rows: (B, h', W, nh, hd); rh_rows: (h', H, hd)."""
+        hq = q_rows.shape[1]
+        qf = q_rows.reshape(B, hq * W, nh, hd)
+        logits = (
+            jnp.einsum("bqhd,bkhd->bhqk", qf, k,
+                       preferred_element_type=jnp.float32) * scale
+        )
+        rqf = q_rows.astype(jnp.float32)
+        bias_h = jnp.einsum("byxhd,ykd->bhyxk", rqf, rh_rows)
+        bias_w = jnp.einsum("byxhd,xkd->bhyxk", rqf, rw)
+        logits = logits.reshape(B, nh, hq, W, H, W)
+        logits = logits + bias_h[..., :, None] + bias_w[..., None, :]
+        logits = logits.reshape(B, nh, hq * W, H * W)
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, hq * W, C)
+
+    q_grid = q.reshape(B, H, W, nh, hd)
+    # chunk query rows so each chunk's scores stay ~O(64 MB)
+    rows_per_chunk = max(1, min(H, (1 << 21) // max(1, H * W * W)))
+    if H % rows_per_chunk != 0 or H * W <= 4096 // 2:
+        out = attend(q_grid, rh)
+    else:
+        n_chunks = H // rows_per_chunk
+        qc = q_grid.reshape(B, n_chunks, rows_per_chunk, W, nh, hd)
+        rc = rh.reshape(n_chunks, rows_per_chunk, H, hd)
+        outs = jax.lax.map(
+            lambda args: attend(args[0], args[1]),
+            (qc.transpose(1, 0, 2, 3, 4, 5), rc),
+        )  # (n_chunks, B, rows*W, C)
+        out = outs.transpose(1, 0, 2, 3).reshape(B, H * W, C)
     return (out @ bp["wo"] + bp["bo"]).reshape(B, H, W, C)
 
 

@@ -1,0 +1,43 @@
+"""Orbax checkpointing of trainable state only.
+
+Mirrors the reference's trainable-only checkpoints: ``CustomRunner.
+save_checkpoint`` persists just ``requires_grad`` params + optimizer +
+scheduler (flmm/runner.py:131-172) and ``SAMWrapper.state_dict`` drops the
+frozen SAM image encoder (mask_refiner.py:126-128).  Frozen weights are
+re-materialised from the upstream HF/SAM checkpoints at load time.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save(path: str | pathlib.Path, state: Any) -> None:
+    path = pathlib.Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state)
+
+
+def restore(path: str | pathlib.Path, template: Any) -> Any:
+    """Restore into the structure/shardings of ``template``."""
+    path = pathlib.Path(path).absolute()
+    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, template)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)
+
+
+def latest(dirpath: str | pathlib.Path) -> pathlib.Path | None:
+    """Find the newest ``step_*`` checkpoint in a directory (auto-resume,
+    reference flmm/runner.py:25-29)."""
+    d = pathlib.Path(dirpath)
+    if not d.exists():
+        return None
+    steps = sorted(
+        (p for p in d.iterdir() if p.name.startswith("step_")),
+        key=lambda p: int(p.name.split("_")[1]),
+    )
+    return steps[-1] if steps else None
