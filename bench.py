@@ -42,12 +42,19 @@ def build(batch_size: int):
 
 def run(batch_size: int, iters: int = 8) -> float:
     predict, params, batch = build(batch_size)
+    # Distinct inputs per iteration: identical dispatches can be memoised by
+    # remote-relay backends, which would fake the timing.
+    batches = []
+    for i in range(iters):
+        b = dict(batch)
+        b["pixel_values"] = batch["pixel_values"] + 0.001 * (i + 1)
+        batches.append(b)
     # warmup + compile
     predict(params, batch).block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = predict(params, batch)
-    out.block_until_ready()
+    outs = [predict(params, b) for b in batches]
+    for o in outs:
+        o.block_until_ready()
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

@@ -1,0 +1,78 @@
+"""Eval metric + runner tests."""
+
+import numpy as np
+
+from flmm_tpu.evalsuite.metrics import (
+    PNGAccumulator, RefSegAccumulator, average_accuracy,
+)
+from flmm_tpu.evalsuite.runner import run_eval, refcoco_score, png_score
+from flmm_tpu.data.collate import BatchSpec
+from flmm_tpu.data.processors import ProcessorConfig
+
+
+def test_average_accuracy_is_mean_iou():
+    rng = np.random.default_rng(0)
+    ious = rng.random(200)
+    aa = average_accuracy(ious, n_thresholds=100000)
+    assert abs(aa - ious.mean()) < 1e-3
+
+
+def test_refseg_accumulator_formulas():
+    acc = RefSegAccumulator()
+    a = np.zeros((4, 4)); a[:2] = 1
+    b = np.zeros((4, 4)); b[:, :2] = 1
+    acc.add(a, b)          # I=4, U=12, IoU=1/3
+    acc.add(a, a)          # I=8, U=8, IoU=1
+    r = acc.results()
+    assert abs(r["cIoU"] - 100 * 12 / 20) < 1e-6
+    assert abs(r["mIoU"] - 100 * (1 / 3 + 1.0) / 2) < 1e-4
+
+
+def test_png_accumulator_splits():
+    acc = PNGAccumulator()
+    m = np.ones((4, 4))
+    acc.add(m, m, {"isthing": True, "plural": False})
+    acc.add(np.zeros((4, 4)), m, {"isthing": False, "plural": True})
+    r = acc.results()
+    assert abs(r["AA_things"] - 1.0) < 1e-3
+    assert r["AA_stuff"] < 1e-3
+    assert r["aAcc@0.5"] == 0.5
+
+
+def test_run_eval_with_mock_predictor():
+    """A predictor that returns the GT encoded as logits must score ~100."""
+    from tests.test_data import FakeTokenizer, prompt_spec, IMAGE_TOKEN_ID
+    from flmm_tpu.data.refcoco import refcoco_to_sample
+    from flmm_tpu.data.collate import build_batch, embed_gt_sam
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    samples = []
+    for i in range(3):
+        oh, ow = int(rng.integers(40, 80)), int(rng.integers(40, 80))
+        mask = np.zeros((oh, ow), np.uint8)
+        mask[5:oh // 2, 5:ow // 2] = 1
+        item = {
+            "image": Image.new("RGB", (ow, oh), (50, 80, 110)),
+            "expressions": ["the thing"],
+            "masks": mask[None],
+            "file_name": f"{i}.jpg",
+        }
+        samples += refcoco_to_sample(item, FakeTokenizer(), prompt_spec(8),
+                                     IMAGE_TOKEN_ID, concat=True)
+
+    spec = BatchSpec(seq_len=48, max_masks=2, text_per_mask=4,
+                     coarse_hw=(16, 16), sam_size=128, prompt_size=32,
+                     processor=ProcessorConfig(size=64))
+
+    def predict(batch):
+        # return GT as +-8 logits
+        return np.where(batch["gt_sam"] > 0.5, 8.0, -8.0)
+
+    acc = run_eval(samples, predict, spec, batch_size=2,
+                   accumulator_factory=RefSegAccumulator,
+                   score_fn=refcoco_score)
+    r = acc.results()
+    assert r["n"] == 3
+    assert r["cIoU"] > 85.0, r  # resampling chain keeps IoU high
+    assert r["mIoU"] > 85.0, r
