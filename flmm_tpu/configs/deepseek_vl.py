@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from flmm_tpu.models.frozen.deepseek_vl import DeepseekVLGroundingConfig
+from flmm_tpu.models.frozen.grounding import GroundingConfig as DeepseekVLGroundingConfig
 from flmm_tpu.models.llm.decoder import DecoderConfig
 from flmm_tpu.models.mask_head.refiner import SamRefinerConfig
 from flmm_tpu.models.mask_head.unet import UNetConfig

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from flmm_tpu.data import geometry
-from flmm_tpu.models.frozen.deepseek_vl import DeepseekVLGroundingConfig
+from flmm_tpu.models.frozen.grounding import GroundingConfig as DeepseekVLGroundingConfig
 from flmm_tpu.models.mask_head.unet import output_hw
 
 

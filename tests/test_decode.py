@@ -1,0 +1,100 @@
+"""KV-cache decode parity vs the full-sequence forward pass."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.models.llm.decoder import (
+    DecoderConfig, embed_tokens, forward_capture, init_params,
+    logits as lm_logits,
+)
+from flmm_tpu.generation.decode import DecodeConfig, decode, prefill
+
+
+def _setup():
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, num_layers=3, num_heads=4,
+        num_kv_heads=2, head_dim=8, intermediate_size=64, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.key(1))
+    return cfg, params
+
+
+IMG_START, N_IMG = 2, 5
+
+
+def test_decode_matches_full_forward():
+    cfg, params = _setup()
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, 64, (10,)), jnp.int32)
+    embeds = embed_tokens(params, cfg, prompt)
+
+    T = 6
+    state = prefill(params, cfg, embeds, IMG_START, N_IMG, max_new_tokens=T)
+    out = decode(params, cfg, state, DecodeConfig(max_new_tokens=T),
+                 IMG_START, N_IMG)
+    toks = np.asarray(out["tokens"])
+
+    # oracle: grow the sequence token by token through the full forward
+    seq = list(np.asarray(prompt))
+    for t in range(T):
+        full = forward_capture(
+            params, cfg,
+            embed_tokens(params, cfg, jnp.asarray(seq, jnp.int32))[None],
+            jnp.ones((1, len(seq)), bool), IMG_START, N_IMG,
+        )
+        nxt = int(jnp.argmax(lm_logits(params, cfg, full["last_hidden"])[0, -1]))
+        assert toks[t] == nxt, (t, toks, nxt)
+        seq.append(nxt)
+
+    # captured attention rows must match the full forward's raw attention
+    full = forward_capture(
+        params, cfg,
+        embed_tokens(params, cfg, jnp.asarray(seq, jnp.int32))[None],
+        jnp.ones((1, len(seq)), bool), IMG_START, N_IMG,
+    )
+    want = np.asarray(full["attn"])[0][:, :, 10:, :]  # (L, H, T, n)
+    got = np.asarray(out["attn"]).transpose(1, 2, 0, 3)  # (L, H, T, n)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_stop_token_marks_validity():
+    cfg, params = _setup()
+    prompt = jnp.asarray([3, 4, 5, 6], jnp.int32)
+    embeds = embed_tokens(params, cfg, prompt)
+    T = 8
+    state = prefill(params, cfg, embeds, 0, 2, max_new_tokens=T)
+    out = decode(params, cfg, state, DecodeConfig(max_new_tokens=T),
+                 0, 2)
+    toks = np.asarray(out["tokens"])
+    # force a stop on the 3rd emitted token
+    state = prefill(params, cfg, embeds, 0, 2, max_new_tokens=T)
+    out2 = decode(params, cfg, state,
+                  DecodeConfig(max_new_tokens=T,
+                               stop_token_ids=(int(toks[2]),)), 0, 2)
+    valid = np.asarray(out2["valid"])
+    assert valid[:3].all()
+    assert not valid[3:].any() or int(toks[2]) in toks[:3]
+
+
+def test_prefill_attn_matches_forward_capture():
+    cfg, params = _setup()
+    rng = np.random.default_rng(2)
+    prompt = jnp.asarray(rng.integers(0, 64, (9,)), jnp.int32)
+    embeds = embed_tokens(params, cfg, prompt)
+    state = prefill(params, cfg, embeds, IMG_START, N_IMG, max_new_tokens=2)
+    full = forward_capture(
+        params, cfg, embeds[None], jnp.ones((1, 9), bool), IMG_START, N_IMG,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["attn"]), np.asarray(full["attn"])[0], atol=1e-5
+    )
+    w = jnp.full((3,), 1.0 / 3)
+    full_w = forward_capture(
+        params, cfg, embeds[None], jnp.ones((1, 9), bool), IMG_START, N_IMG,
+        layer_weights=w,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state["hidden"]), np.asarray(full_w["hidden"])[0],
+        atol=1e-5,
+    )
