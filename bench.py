@@ -35,26 +35,31 @@ def build(batch_size: int):
     @jax.jit
     def predict(params, batch):
         out = model.forward(params, cfg, batch)
-        return out["sam_logits"]
+        # tiny checksum output: forces real execution on relay backends
+        # whose block_until_ready can return before compute finishes
+        return out["sam_logits"], jnp.sum(out["sam_logits"][:, :, ::64, ::64])
 
     return predict, params, batch
 
 
-def run(batch_size: int, iters: int = 8) -> float:
+def run(batch_size: int, iters: int = 6) -> float:
+    import numpy as np
+
     predict, params, batch = build(batch_size)
     # Distinct inputs per iteration: identical dispatches can be memoised by
     # remote-relay backends, which would fake the timing.
     batches = []
-    for i in range(iters):
+    for i in range(iters + 2):
         b = dict(batch)
         b["pixel_values"] = batch["pixel_values"] + 0.001 * (i + 1)
         batches.append(b)
-    # warmup + compile
-    predict(params, batch).block_until_ready()
+    # warmup + compile; fetch the checksum to ensure completion
+    for b in batches[:2]:
+        float(np.asarray(predict(params, b)[1]))
     t0 = time.perf_counter()
-    outs = [predict(params, b) for b in batches]
-    for o in outs:
-        o.block_until_ready()
+    for b in batches[2:]:
+        # fetching the scalar checksum serialises on true completion
+        float(np.asarray(predict(params, b)[1]))
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 

@@ -29,7 +29,7 @@ def synthetic_batch(
     B, M, T = batch_size, max_masks, text_tokens_per_mask
     n_img = cfg.num_img_tokens
     S = seq_len or (cfg.img_start + n_img + 32)
-    lmm_size = cfg.vision.image_size
+    lmm_size = cfg.input_size
     sam_size = cfg.sam.encoder.img_size
     Hc, Wc = output_hw(cfg.unet, (cfg.clip_shape, cfg.clip_shape))
     P = cfg.sam.prompt_size

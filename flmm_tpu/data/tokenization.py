@@ -36,6 +36,13 @@ TEMPLATES = {
         "SUFFIX": "</s>",
         "STOP_WORDS": ["</s>"],
     },
+    "internlm2_chat": {
+        "SYSTEM": "<|im_start|>system\n{system}<|im_end|>\n",
+        "INSTRUCTION": ("<|im_start|>user\n{input}<|im_end|>\n"
+                        "<|im_start|>assistant\n"),
+        "SUFFIX": "<|im_end|>",
+        "STOP_WORDS": ["<|im_end|>"],
+    },
     "gemma": {
         "SYSTEM": "",
         "INSTRUCTION": ("<start_of_turn>user\n{input}<end_of_turn>\n"
@@ -50,9 +57,14 @@ TEMPLATES = {
 class PromptSpec:
     template: dict
     prompt: str  # e.g. '<image_placeholder>'*576 + 'Please give me ...'
+    system: str | None = None
 
     def render(self) -> str:
-        out = self.template.get("SYSTEM", "")
+        sys_t = self.template.get("SYSTEM", "")
+        if "{system}" in sys_t:
+            out = sys_t.format(system=self.system) if self.system else ""
+        else:
+            out = sys_t
         return out + self.template["INSTRUCTION"].format(input=self.prompt)
 
 

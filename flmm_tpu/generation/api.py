@@ -1,0 +1,338 @@
+"""High-level grounding/generation API.
+
+Re-creates the reference's interactive surface on the TPU stack:
+
+* ``answer``: free-form generation caching per-step text->image attention
+  and layer-weighted hidden states (reference frozen_deepseek_vl.py:514).
+* ``ground``: mask arbitrary token spans of a finished generation
+  (frozen_deepseek_vl.py:568).
+* ``visual_cot_v1/v2/v3``: think -> ground -> crop -> re-answer pipelines
+  (frozen_deepseek_vl.py:271,374,478).
+* ``mask2box`` with scale expansion (frozen_deepseek_vl.py:458-475).
+
+Host code orchestrates; the heavy steps (prefill, decode, tower, U-Net,
+SAM) are jitted functions cached per input shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.data import geometry
+from flmm_tpu.data.processors import ProcessorConfig, sam_preprocess, \
+    square_pad_preprocess
+from flmm_tpu.data import tokenization as tok
+from flmm_tpu.evalsuite.runner import sam_logits_to_masks
+from flmm_tpu.generation import decode as dec
+from flmm_tpu.models.frozen.grounding import GroundingConfig, _project
+from flmm_tpu.models.llm import decoder as llm
+from flmm_tpu.models.mask_head import refiner as sam_refiner
+from flmm_tpu.models.mask_head import unet
+from flmm_tpu.models.mask_head.unet import output_hw
+from flmm_tpu.models.sam import image_encoder as sam_encoder
+from flmm_tpu.models.vision import vit
+
+
+def mask2box_scaled(mask: np.ndarray, scale: float = 1.0) -> tuple:
+    """Box of a binary mask with centre-scale expansion (reference
+    frozen_deepseek_vl.py:458-475); returns the full image box if empty."""
+    h, w = mask.shape
+    ys, xs = np.where(mask)
+    if len(ys) == 0:
+        return 0, 0, w, h
+    y0, y1 = ys.min(), ys.max()
+    x0, x1 = xs.min(), xs.max()
+    yd, xd = max((y1 - y0) / 2, 8), max((x1 - x0) / 2, 8)
+    yc, xc = (y1 + y0) / 2, (x1 + x0) / 2
+    x0, x1 = max(0, xc - xd * scale), min(w, xc + xd * scale)
+    y0, y1 = max(0, yc - yd * scale), min(h, yc + yd * scale)
+    return int(x0), int(y0), int(x1), int(y1)
+
+
+@dataclasses.dataclass
+class Grounder:
+    cfg: GroundingConfig
+    params: dict
+    tokenizer: Any
+    prompt_template: dict
+    image_token: str = "<image_placeholder>"
+    processor: ProcessorConfig = dataclasses.field(
+        default_factory=ProcessorConfig
+    )
+    max_new_tokens: int = 64
+    max_thought_tokens: int = 16
+    box_scale: float = 1.0
+    use_sam: bool = True
+    additional_prompt: str = " Please briefly answer the question."
+
+    def __post_init__(self):
+        self.image_token_id = self.tokenizer.encode(
+            self.image_token, add_special_tokens=False
+        )[-1]
+        stop_words = list(self.prompt_template.get("STOP_WORDS", []))
+        self.stop_ids = tuple(
+            self.tokenizer.encode(w, add_special_tokens=False)[-1]
+            for w in stop_words
+        )
+        # thought generation also stops at '.' (reference :252)
+        dot = self.tokenizer.encode(".", add_special_tokens=False)
+        self.thought_stop_ids = self.stop_ids + ((dot[-1],) if dot else ())
+        self._jit_cache: dict = {}
+
+    # -- jitted building blocks -------------------------------------------
+
+    def _embed_tokens_with_image(self, input_ids: np.ndarray,
+                                 pixel_list: list[np.ndarray]) -> jnp.ndarray:
+        """Token embeddings with image features scattered at placeholder
+        blocks (supports the multi-image round-2 CoT conversation)."""
+        cfg, fro = self.cfg, self.params["frozen"]
+        ids = jnp.asarray(input_ids)
+        embeds = llm.embed_tokens(fro["llm"], cfg.llm, ids).astype(cfg.dtype)
+        is_img = np.asarray(input_ids) == self.image_token_id
+        positions = np.where(is_img)[0]
+        n = cfg.num_img_tokens
+        assert len(positions) == n * len(pixel_list), (
+            len(positions), n, len(pixel_list))
+        feats = self._tower(jnp.asarray(np.stack(pixel_list)))
+        for i in range(len(pixel_list)):
+            start = int(positions[i * n])
+            embeds = jax.lax.dynamic_update_slice(
+                embeds, feats[i].astype(cfg.dtype), (start, 0)
+            )
+        return embeds
+
+    def _tower(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        cfg, fro = self.cfg, self.params["frozen"]
+        feats = vit.forward(fro["vision"], cfg.vision, pixels,
+                            select_layer=cfg.vision_select_layer)
+        if cfg.vision_drop_cls:
+            feats = feats[:, 1:]
+        return _project(feats, fro["projector"])
+
+    def _generate(self, embeds: jnp.ndarray, img_start: int,
+                  max_new: int, stop_ids: tuple):
+        cfg = self.cfg
+        lw = jax.nn.softmax(self.params["trainable"]["text_layer_weights"])
+        key = ("gen", embeds.shape[0], max_new, stop_ids, img_start)
+        if key not in self._jit_cache:
+            def run(params, embeds, lw):
+                state = dec.prefill(
+                    params["frozen"]["llm"], cfg.llm, embeds, img_start,
+                    cfg.num_img_tokens, max_new, layer_weights=lw,
+                )
+                out = dec.decode(
+                    params["frozen"]["llm"], cfg.llm, state,
+                    dec.DecodeConfig(max_new_tokens=max_new,
+                                     stop_token_ids=stop_ids),
+                    img_start, cfg.num_img_tokens, layer_weights=lw,
+                )
+                return {
+                    "prompt_attn": state["attn"],
+                    "prompt_hidden": state["hidden"],
+                    "tokens": out["tokens"], "valid": out["valid"],
+                    "attn": out["attn"], "hidden": out["hidden"],
+                }
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](self.params, embeds, lw)
+
+    def _ground_maps(self, mask_attentions: jnp.ndarray,
+                     text_embeds: jnp.ndarray, text_valid: jnp.ndarray,
+                     sam_pixels: jnp.ndarray, geom: dict):
+        """(M, C, g, g) merged attention maps -> coarse + SAM mask logits."""
+        cfg = self.cfg
+        tra = self.params["trainable"]
+        key = ("ground", mask_attentions.shape)
+        if key not in self._jit_cache:
+            def run(params, attn, text, tvalid, sam_px, geom):
+                tra = params["trainable"]
+                coarse = unet.forward(
+                    tra["unet"], cfg.unet, attn.transpose(0, 2, 3, 1)
+                ).astype(jnp.float32)
+                img_emb = sam_encoder.forward(
+                    params["frozen"]["sam_encoder"], cfg.sam.encoder,
+                    sam_px[None],
+                )[0]
+                refined = sam_refiner.refine(
+                    tra["sam"], cfg.sam, img_emb, coarse, geom, text, tvalid
+                )
+                return coarse, refined["low_res_logits"]
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](self.params, mask_attentions, text_embeds,
+                                    text_valid, sam_pixels, geom)
+
+    # -- public API --------------------------------------------------------
+
+    def _prepare_image(self, image):
+        proc = square_pad_preprocess(image, self.processor)
+        sam = sam_preprocess(image, self.cfg.sam.encoder.img_size)
+        return proc, sam
+
+    def _prompt_ids(self, content: str) -> np.ndarray:
+        spec = tok.PromptSpec(self.prompt_template, content)
+        return np.asarray(tok.encode_prompt(self.tokenizer, spec), np.int32)
+
+    def answer(self, image, question: str, max_new_tokens: int | None = None):
+        """Generate an answer while caching attention/hidden per step."""
+        cfg = self.cfg
+        content = self.image_token * cfg.num_img_tokens + question
+        ids = self._prompt_ids(content)
+        img_start, n = tok.find_image_block(ids, self.image_token_id)
+        assert n == cfg.num_img_tokens
+        proc, sam = self._prepare_image(image)
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        out = self._generate(
+            embeds, img_start, max_new_tokens or self.max_new_tokens,
+            self.stop_ids,
+        )
+        valid = np.asarray(out["valid"])
+        tvalid = int(valid.sum())
+        tokens = np.asarray(out["tokens"])[:tvalid]
+        # reference drops the final (stop) token from the text (answer:562)
+        text = self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""
+        return {
+            "output_ids": tokens,
+            "output_text": text,
+            # (L, H, T, n) generated-token attention rows
+            "attention_maps": np.asarray(out["attn"])[:tvalid].transpose(
+                1, 2, 0, 3),
+            "hidden_states": np.asarray(out["hidden"])[:tvalid],
+            "meta_data": proc["meta"],
+            "sam_pixels": sam["sam_pixel_values"],
+            "sam_input_size": sam["sam_input_size"],
+            "orig_size": (image.height, image.width),
+        }
+
+    def ground(self, answer_out: dict, positive_spans: list[tuple],
+               max_text: int = 16):
+        """Ground token spans of a generation; returns (M, oh, ow) masks."""
+        cfg = self.cfg
+        g = cfg.clip_shape
+        attn = answer_out["attention_maps"]  # (L, H, T, n)
+        hidden = answer_out["hidden_states"]  # (T, D)
+        L, H, T, n = attn.shape
+        maps = []
+        texts = []
+        tvalids = []
+        tp = self.params["trainable"]["text_proj"]
+        for lo, hi in positive_spans:
+            assert hi > lo
+            m = attn[:, :, lo:hi].mean(axis=2) if cfg.merge == "mean" else \
+                attn[:, :, lo:hi].max(axis=2)
+            maps.append(m.reshape(L * H, g, g))
+            span_h = hidden[lo:hi]
+            proj = span_h @ np.asarray(tp["w"]) + np.asarray(tp["b"])
+            pad = np.zeros((max_text, proj.shape[-1]), np.float32)
+            k = min(len(proj), max_text)
+            pad[:k] = proj[:k]
+            texts.append(pad)
+            tvalids.append([True] * k + [False] * (max_text - k))
+        maps = jnp.asarray(np.stack(maps), jnp.float32)
+        texts = jnp.asarray(np.stack(texts), jnp.float32)
+        tvalid = jnp.asarray(np.stack(tvalids))
+
+        hc, wc = output_hw(cfg.unet, (g, g))
+        cc = geometry.coarse_crop(answer_out["meta_data"], (hc, wc))
+        nh, nw = answer_out["sam_input_size"]
+        geom = {k: jnp.asarray(v, jnp.float32) for k, v in cc.items()}
+        geom["sam_h"] = jnp.asarray(float(nh))
+        geom["sam_w"] = jnp.asarray(float(nw))
+        coarse, low_res = self._ground_maps(
+            maps, texts, tvalid, jnp.asarray(answer_out["sam_pixels"]), geom
+        )
+        masks = sam_logits_to_masks(
+            np.asarray(low_res), (nh, nw), answer_out["orig_size"],
+            sam_size=cfg.sam.encoder.img_size,
+            prompt_size=cfg.sam.prompt_size,
+        )
+        return np.asarray(coarse), masks
+
+    # -- visual chain-of-thought ------------------------------------------
+
+    def visual_cot_v1(self, image, question: str):
+        """Think (<=16 tokens) -> ground the thought -> crop -> re-answer."""
+        thought_q = (question + "First think which object in this image is "
+                     "most relevant to the question.")
+        content = (self.image_token * self.cfg.num_img_tokens + thought_q)
+        spec = tok.PromptSpec(self.prompt_template, content)
+        rendered = spec.render() + " The object most relevant to the question is"
+        ids = np.asarray(
+            self.tokenizer.encode(rendered, add_special_tokens=True), np.int32
+        )
+        img_start, _ = tok.find_image_block(ids, self.image_token_id)
+        proc, sam = self._prepare_image(image)
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        out = self._generate(embeds, img_start, self.max_thought_tokens,
+                             self.thought_stop_ids)
+        valid = np.asarray(out["valid"])
+        tvalid = max(1, int(valid.sum()))
+        tokens = np.asarray(out["tokens"])[:tvalid]
+        thought = self.tokenizer.decode(tokens[:-1]) if len(tokens) > 1 else ""
+        answer_out = {
+            "attention_maps": np.asarray(out["attn"])[:tvalid].transpose(
+                1, 2, 0, 3),
+            "hidden_states": np.asarray(out["hidden"])[:tvalid],
+            "meta_data": proc["meta"],
+            "sam_pixels": sam["sam_pixel_values"],
+            "sam_input_size": sam["sam_input_size"],
+            "orig_size": (image.height, image.width),
+        }
+        _, masks = self.ground(answer_out, [(0, tvalid)])
+        mask = masks[0] > 0
+        bbox = mask2box_scaled(mask, self.box_scale)
+        final = self._two_image_answer(image, image.crop(bbox), question)
+        return thought, bbox, final, mask
+
+    def visual_cot_v2(self, image, question: str):
+        """Ground the question tokens directly, then crop + re-answer."""
+        content = self.image_token * self.cfg.num_img_tokens + question
+        ids = self._prompt_ids(content)
+        img_start, n = tok.find_image_block(ids, self.image_token_id)
+        q_start = img_start + n
+        proc, sam = self._prepare_image(image)
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        # prefill-only pass: question attention rows come from the prompt
+        state = self._generate(embeds, img_start, 1, self.stop_ids)
+        answer_out = {
+            "attention_maps": np.asarray(state["prompt_attn"]),  # (L,H,S,n)
+            "hidden_states": np.asarray(state["prompt_hidden"]),
+            "meta_data": proc["meta"],
+            "sam_pixels": sam["sam_pixel_values"],
+            "sam_input_size": sam["sam_input_size"],
+            "orig_size": (image.height, image.width),
+        }
+        _, masks = self.ground(answer_out, [(q_start, len(ids))])
+        mask = masks[0] > 0
+        bbox = mask2box_scaled(mask, self.box_scale)
+        final = self._two_image_answer(image, image.crop(bbox), question)
+        return "", bbox, final, mask
+
+    def visual_cot_v3(self, image, question: str):
+        """No-CoT baseline: answer on the (cropped) image directly."""
+        out = self.answer(image, question + self.additional_prompt)
+        return "", (0, 0, image.width, image.height), out["output_text"], None
+
+    def _two_image_answer(self, image, crop, question: str) -> str:
+        """Round-2 conversation over [full image, crop] (reference
+        visual_cot_v1:357-371)."""
+        cfg = self.cfg
+        content = (
+            f"{self.image_token * cfg.num_img_tokens}the whole image, "
+            f"{self.image_token * cfg.num_img_tokens}the image region that "
+            f"might help you answer the question: "
+            f"{question}{self.additional_prompt}"
+        )
+        ids = self._prompt_ids(content)
+        img_start = int(np.where(ids == self.image_token_id)[0][0])
+        px1 = square_pad_preprocess(image, self.processor)["pixel_values"]
+        px2 = square_pad_preprocess(crop, self.processor)["pixel_values"]
+        embeds = self._embed_tokens_with_image(ids, [px1, px2])
+        out = self._generate(embeds, img_start, self.max_new_tokens,
+                             self.stop_ids)
+        valid = np.asarray(out["valid"])
+        tokens = np.asarray(out["tokens"])[:int(valid.sum())]
+        return self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""

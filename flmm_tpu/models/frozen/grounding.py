@@ -46,7 +46,15 @@ class GroundingConfig:
     merge: str = "mean"
     vision_select_layer: int = -1  # -1 deepseek (final+norm), -2 llava/hpt
     vision_drop_cls: bool = False  # llava: drop CLS from tower features
+    # input resolution fed to the tower; if it exceeds the tower's native
+    # image_size the position embeddings are bicubically resampled (HPT,
+    # reference frozen_hpt.py:41-70)
+    image_input_size: int | None = None
     dtype: Any = jnp.bfloat16
+
+    @property
+    def input_size(self) -> int:
+        return self.image_input_size or self.vision.image_size
 
     @property
     def attn_channels(self) -> int:

@@ -1,0 +1,79 @@
+"""Grounder API smoke tests on the tiny config (answer/ground/visual CoT)."""
+
+import numpy as np
+import pytest
+import jax
+from PIL import Image
+
+from flmm_tpu.configs.deepseek_vl import tiny
+from flmm_tpu.data import tokenization as tok
+from flmm_tpu.data.processors import ProcessorConfig
+from flmm_tpu.generation.api import Grounder, mask2box_scaled
+from flmm_tpu.models.frozen import grounding as model
+from tests.test_data import IMAGE_TOKEN_ID, FakeTokenizer
+
+
+class DecodingFakeTokenizer(FakeTokenizer):
+    def decode(self, ids, **kw):
+        return " ".join(f"tok{i}" for i in ids)
+
+
+@pytest.fixture(scope="module")
+def grounder():
+    tokenizer = DecodingFakeTokenizer()
+    # determine img_start under the template with 64 placeholders
+    spec = tok.PromptSpec(tok.TEMPLATES["deepseek"], "<image_placeholder>" * 64)
+    ids = tok.encode_prompt(tokenizer, spec)
+    start, n = tok.find_image_block(ids, IMAGE_TOKEN_ID)
+    assert n == 64
+    cfg = tiny(img_start=start)
+    params = model.init_params(cfg, jax.random.key(0))
+    return Grounder(
+        cfg=cfg, params=params, tokenizer=tokenizer,
+        prompt_template=tok.TEMPLATES["deepseek"],
+        processor=ProcessorConfig(size=cfg.input_size),
+        max_new_tokens=6, max_thought_tokens=4,
+    )
+
+
+def _image():
+    rng = np.random.default_rng(0)
+    return Image.fromarray(
+        rng.integers(0, 255, (60, 90, 3), np.uint8), "RGB")
+
+
+def test_mask2box_scaled():
+    m = np.zeros((50, 50), bool)
+    m[10:30, 20:40] = True
+    assert mask2box_scaled(m, 1.0) == (20, 10, 39, 29)
+    x0, y0, x1, y1 = mask2box_scaled(m, 2.0)
+    assert x0 < 20 and y0 < 10 and x1 > 39 and y1 > 29
+    assert mask2box_scaled(np.zeros((5, 7), bool)) == (0, 0, 7, 5)
+
+
+def test_answer_and_ground(grounder):
+    img = _image()
+    out = grounder.answer(img, "what is this?")
+    assert out["attention_maps"].shape[0] == grounder.cfg.llm.num_layers
+    t = out["attention_maps"].shape[2]
+    assert t >= 1
+    coarse, masks = grounder.ground(out, [(0, t)])
+    assert masks.shape == (1, 60, 90)
+    assert masks.dtype == np.uint8
+
+
+def test_visual_cot_v1(grounder):
+    thought, bbox, answer, mask = grounder.visual_cot_v1(_image(), "why?")
+    assert isinstance(answer, str)
+    x0, y0, x1, y1 = bbox
+    assert 0 <= x0 < x1 <= 90 and 0 <= y0 < y1 <= 60
+    assert mask.shape == (60, 90)
+
+
+def test_visual_cot_v2_and_v3(grounder):
+    img = _image()
+    _, bbox, answer, mask = grounder.visual_cot_v2(img, "where?")
+    assert isinstance(answer, str) and mask.shape == (60, 90)
+    _, bbox3, answer3, _ = grounder.visual_cot_v3(img, "what?")
+    assert bbox3 == (0, 0, 90, 60)
+    assert isinstance(answer3, str)
