@@ -171,19 +171,34 @@ def forward(params: dict, cfg: GroundingConfig, batch: dict) -> dict:
     attn = attn.transpose(0, 3, 1, 2, 4).reshape(B * M, L_ * H_, g, g)
     attn = attn.transpose(0, 2, 3, 1)  # NHWC
 
-    # 5. U-Net coarse masks
-    coarse = unet.forward(tra["unet"], cfg.unet, attn)
+    return heads_forward(params, cfg, attn, out["hidden"], batch)
+
+
+def heads_forward(
+    params: dict, cfg: GroundingConfig, attn_nhwc: jnp.ndarray,
+    hidden: jnp.ndarray, batch: dict,
+) -> dict:
+    """Shared tail: attention images -> U-Net -> text prompts -> SAM.
+
+    Args:
+      attn_nhwc: ``(B*M, h, w, C)`` per-mask attention images.
+      hidden: ``(B, S, D)`` layer-weighted hidden states (f32).
+    """
+    fro, tra = params["frozen"], params["trainable"]
+    B, M = batch["mask_valid"].shape
+
+    # U-Net coarse masks
+    coarse = unet.forward(tra["unet"], cfg.unet, attn_nhwc)
     Hc, Wc = coarse.shape[-2:]
     coarse = coarse.reshape(B, M, Hc, Wc).astype(jnp.float32)
 
-    # 6. text prompt embeddings per mask
+    # text prompt embeddings per mask
     tp = tra["text_proj"]
-    hidden = out["hidden"]  # (B, S, D) f32
     text = jax.vmap(lambda h, idx: h[idx])(hidden, batch["text_idx"])
     text = text @ tp["w"] + tp["b"]  # (B, M, T, d_sam)
     text = text * batch["text_valid"][..., None]
 
-    # 7. frozen SAM encoder + batched refiner
+    # frozen SAM encoder + batched refiner
     img_emb = sam_encoder.forward(
         fro["sam_encoder"], cfg.sam.encoder, batch["sam_pixel_values"]
     )

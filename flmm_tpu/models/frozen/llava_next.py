@@ -1,0 +1,171 @@
+"""Frozen LLaVA-Next (anyres) grounding model.
+
+Behavioural spec: reference flmm/models/frozen_llava_next.py
+(FrozenLlavaNextSAM) + llava/modeling_llava_next.py:240-301 -- anyres
+feature packing (base tile + unpadded fine tiles + newline column), dual
+coarse/fine attention streams concatenated channel-wise into a
+``2 * layers * heads``-channel U-Net input.
+
+TPU re-design: the image block is padded to a static width with masked
+slots and explicit position ids (exact RoPE parity with the reference's
+dynamic packing); the coarse (24x24, aspect-distorted full image) and fine
+(unpadded, variable extent) attention maps are resampled by
+``affine_grid_sample`` into the canonical square coarse frame instead of
+the reference's per-sample dynamically-shaped U-Net input -- one compiled
+program for every anyres grid configuration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.models.frozen.base import grounding_losses
+from flmm_tpu.models.frozen.grounding import GroundingConfig, _project, \
+    heads_forward
+from flmm_tpu.models.llm import decoder as llm
+from flmm_tpu.models.vision import vit
+from flmm_tpu.ops import masks as mask_ops
+from flmm_tpu.ops.resize import affine_grid_sample
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaNextConfig:
+    base: GroundingConfig  # llm/vision/unet/sam etc.
+    max_tiles: int = 4
+    max_fine_hw: tuple = (72, 72)
+    n_img_max: int = 2928  # 576 + 48*49 for the 336-base pinpoints
+    coarse_frame: tuple = (64, 64)  # square frame fed to the U-Net
+
+    @property
+    def grid(self) -> int:
+        return self.base.clip_shape
+
+
+def init_params(cfg: LlavaNextConfig, key: jax.Array) -> dict:
+    from flmm_tpu.models.frozen import grounding
+
+    params = grounding.init_params(cfg.base, key)
+    d = cfg.base.llm.hidden_size
+    params["frozen"]["image_newline"] = (
+        jax.random.normal(jax.random.key(7), (d,), jnp.float32) * 0.02
+    ).astype(cfg.base.dtype)
+    return params
+
+
+def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
+    fro, tra = params["frozen"], params["trainable"]
+    gcfg = cfg.base
+    B, S = batch["input_ids"].shape
+    M = batch["mask_valid"].shape[1]
+    g = cfg.grid
+    g2 = g * g
+    n_max = cfg.n_img_max
+
+    # 1. tower over base+tiles
+    tiles = batch["tiles"]  # (B, 1+T, gpx, gpx, 3)
+    nt = tiles.shape[1]
+    feats = vit.forward(
+        fro["vision"], gcfg.vision,
+        tiles.reshape((B * nt,) + tiles.shape[2:]),
+        select_layer=gcfg.vision_select_layer,
+    )
+    if gcfg.vision_drop_cls:
+        feats = feats[:, 1:]
+    feats = _project(feats, fro["projector"]).astype(gcfg.dtype)
+    d = feats.shape[-1]
+    feats = feats.reshape(B, nt * g2, d)
+
+    # 2. per-sample feature source table + block gather
+    newline = jnp.broadcast_to(
+        fro["image_newline"].astype(gcfg.dtype), (B, 1, d)
+    )
+    zero = jnp.zeros((B, 1, d), gcfg.dtype)
+    table = jnp.concatenate([feats, newline, zero], axis=1)
+    block = jnp.take_along_axis(
+        table, batch["block_index"][..., None], axis=1
+    )  # (B, n_max, d)
+    block = block * batch["block_valid"][..., None]
+
+    # 3. scatter + decoder with capture (explicit position ids)
+    embeds = llm.embed_tokens(fro["llm"], gcfg.llm, batch["input_ids"]).astype(
+        gcfg.dtype
+    )
+    embeds = jax.lax.dynamic_update_slice(
+        embeds, block, (0, gcfg.img_start, 0)
+    )
+    lw = jax.nn.softmax(tra["text_layer_weights"])
+    if gcfg.merge == "mean":
+        mm = jax.vmap(lambda ids: mask_ops.mean_merge_matrix(ids, M))(
+            batch["mask_ids"])
+    else:
+        mm = jax.vmap(lambda ids: mask_ops.segment_matrix(ids, M))(
+            batch["mask_ids"])
+    out = llm.forward_capture(
+        fro["llm"], gcfg.llm, embeds, batch["attn_mask"],
+        img_start=gcfg.img_start, n_img=n_max,
+        merge_matrix=mm, merge=gcfg.merge, layer_weights=lw,
+        position_ids=batch["position_ids"],
+    )
+
+    # 4. coarse + fine attention maps -> canonical square frame
+    attn = out["attn"]  # (B, L, H, M, n_max)
+    L_, H_ = gcfg.llm.num_layers, gcfg.llm.num_heads
+    fhm, fwm = cfg.max_fine_hw
+    coarse_maps = attn[..., :g2].reshape(B, L_, H_, M, g, g)
+    fine = jnp.take_along_axis(
+        attn, batch["fine_gather"][:, None, None, None, :], axis=-1
+    )
+    fine = fine * batch["fine_valid"][:, None, None, None, :]
+    fine_maps = fine.reshape(B, L_, H_, M, fhm, fwm)
+
+    Hc, Wc = cfg.coarse_frame
+    geom = batch["geom"]
+
+    def to_frame(maps, src_h, src_w, b):
+        """Sample [0,src_h)x[0,src_w) onto the image region of the square
+        frame (clamp-replicated outside; loss weights zero the padding)."""
+        cy = geom["crop_y"][b]
+        cx = geom["crop_x"][b]
+        ch = jnp.maximum(geom["crop_h"][b], 1.0)
+        cw = jnp.maximum(geom["crop_w"][b], 1.0)
+        scale = jnp.stack([src_h / ch, src_w / cw])
+        offset = jnp.stack([-cy * src_h / ch, -cx * src_w / cw])
+        return affine_grid_sample(
+            maps, scale, offset, (Hc, Wc),
+            src_lo=jnp.zeros(2),
+            src_hi=jnp.stack([src_h - 1.0, src_w - 1.0]),
+            mode="clamp",
+        )
+
+    def per_sample(b):
+        cm = coarse_maps[b].reshape(L_ * H_ * M, g, g)
+        fm = fine_maps[b].reshape(L_ * H_ * M, fhm, fwm)
+        fh = batch["fine_hw"][b, 0]
+        fw = batch["fine_hw"][b, 1]
+        cframe = to_frame(cm, float(g), float(g), b)
+        fframe = to_frame(fm, fh, fw, b)
+        return cframe, fframe
+
+    cframes, fframes = jax.vmap(per_sample)(jnp.arange(B))
+    # channel layout: [coarse layer-major | fine layer-major] matching the
+    # reference's torch.cat([coarse, fine], dim=1) (frozen_llava_next:145)
+    cframes = cframes.reshape(B, L_ * H_, M, Hc, Wc)
+    fframes = fframes.reshape(B, L_ * H_, M, Hc, Wc)
+    maps = jnp.concatenate([cframes, fframes], axis=1)  # (B, 2LH, M, Hc, Wc)
+    maps = maps.transpose(0, 2, 3, 4, 1).reshape(B * M, Hc, Wc, 2 * L_ * H_)
+
+    return heads_forward(params, cfg.base, maps, out["hidden"], batch)
+
+
+def loss_fn(params: dict, cfg: LlavaNextConfig, batch: dict) -> tuple:
+    out = forward(params, cfg, batch)
+    losses = grounding_losses(
+        out["coarse_logits"], batch["gt_coarse"], batch["coarse_weight"],
+        out["sam_logits"], batch["gt_sam"], batch["sam_weight"],
+        batch["mask_valid"],
+    )
+    return losses["loss"], losses

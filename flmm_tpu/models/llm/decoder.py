@@ -170,6 +170,7 @@ def forward_capture(
     merge_matrix: jnp.ndarray | None = None,
     merge: str = "mean",
     layer_weights: jnp.ndarray | None = None,
+    position_ids: jnp.ndarray | None = None,
 ) -> dict:
     """Run the frozen decoder, capturing merged text->image attention.
 
@@ -183,6 +184,11 @@ def forward_capture(
         is interpreted as a boolean membership matrix.  If None, raw
         ``(B, L, H, S, n_img)`` attention is returned instead (generation /
         analysis path).
+      position_ids: optional ``(B, S)`` explicit RoPE positions.  Used by
+        anyres families to keep relative positions identical to the
+        reference's dynamically-sized packed sequence while padding the
+        image block to a static width (masked pad slots are skipped in the
+        position count).
       layer_weights: ``(L,)`` f32 softmax weights; if given, the returned
         ``hidden`` is the layer-weighted sum matching the reference's
         ``hidden_states[-L:]`` convention (embedding excluded, final entry
@@ -200,7 +206,10 @@ def forward_capture(
     if cfg.embed_scale:
         h = h * jnp.asarray(jnp.sqrt(float(cfg.hidden_size)), cfg.dtype)
 
-    positions = jnp.arange(S)[None, :]  # left-aligned sequences
+    if position_ids is None:
+        positions = jnp.arange(S)[None, :]  # left-aligned sequences
+    else:
+        positions = position_ids
     cos, sin = rope_tables(positions, hd, cfg.rope_theta)
 
     valid = attention_mask.astype(jnp.bool_)
