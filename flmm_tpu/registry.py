@@ -1,0 +1,108 @@
+"""Model-family registry: one place mapping family names to their config
+factories, batch builders and model modules.
+
+Plays the role of the reference's xtuner BUILDER + per-family config files
+(SURVEY.md section 2.4): an experiment is a family name + a config factory
++ data settings, all plain python.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class Family:
+    name: str
+    model_module: str  # import path of the model (forward/loss_fn/init_params)
+    batch_builder: str  # 'standard' | 'anyres' | 'mgm'
+    presets: dict  # name -> config factory import path
+
+
+FAMILIES = {
+    "deepseek_vl": Family(
+        name="deepseek_vl",
+        model_module="flmm_tpu.models.frozen.grounding",
+        batch_builder="standard",
+        presets={
+            "1_3b": "flmm_tpu.configs.deepseek_vl:deepseek_vl_1_3b",
+            "tiny": "flmm_tpu.configs.deepseek_vl:tiny",
+        },
+    ),
+    "llava": Family(
+        name="llava",
+        model_module="flmm_tpu.models.frozen.grounding",
+        batch_builder="standard",
+        presets={
+            "1_5_7b": "flmm_tpu.configs.llava:llava_1_5_7b",
+            "tiny": "flmm_tpu.configs.llava:tiny_llava",
+        },
+    ),
+    "llava_next": Family(
+        name="llava_next",
+        model_module="flmm_tpu.models.frozen.llava_next",
+        batch_builder="anyres",
+        presets={
+            "vicuna_7b": "flmm_tpu.configs.llava_next:llava_next_vicuna_7b",
+            "mistral_7b": "flmm_tpu.configs.llava_next:llava_next_mistral_7b",
+            "tiny": "flmm_tpu.configs.llava_next:tiny_llava_next",
+        },
+    ),
+    "mgm": Family(
+        name="mgm",
+        model_module="flmm_tpu.models.frozen.mgm",
+        batch_builder="mgm",
+        presets={
+            "gemma_2b": "flmm_tpu.configs.mgm:mgm_gemma_2b",
+            "vicuna_7b": "flmm_tpu.configs.mgm:mgm_vicuna_7b",
+            "vicuna_7b_hd": "flmm_tpu.configs.mgm:mgm_vicuna_7b_hd",
+            "tiny": "flmm_tpu.configs.mgm:tiny_mgm",
+        },
+    ),
+    "hpt": Family(
+        name="hpt",
+        model_module="flmm_tpu.models.frozen.grounding",
+        batch_builder="standard",
+        presets={
+            "air": "flmm_tpu.configs.hpt:hpt_air",
+            "air_1_5": "flmm_tpu.configs.hpt:hpt_air_1_5",
+            "tiny": "flmm_tpu.configs.hpt:tiny_hpt",
+        },
+    ),
+}
+
+
+def _import(path: str) -> Any:
+    import importlib
+
+    mod, _, attr = path.partition(":")
+    m = importlib.import_module(mod)
+    return getattr(m, attr) if attr else m
+
+
+def get_model(family: str):
+    import importlib
+
+    return importlib.import_module(FAMILIES[family].model_module)
+
+
+def get_config(family: str, preset: str, **kwargs):
+    return _import(FAMILIES[family].presets[preset])(**kwargs)
+
+
+def get_batch_builder(family: str) -> Callable:
+    kind = FAMILIES[family].batch_builder
+    if kind == "standard":
+        from flmm_tpu.data.collate import build_batch
+
+        return build_batch
+    if kind == "anyres":
+        from flmm_tpu.data.llava_next import build_anyres_batch
+
+        return build_anyres_batch
+    if kind == "mgm":
+        from flmm_tpu.data.mgm import build_mgm_batch
+
+        return build_mgm_batch
+    raise KeyError(kind)

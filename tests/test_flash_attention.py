@@ -1,0 +1,62 @@
+"""Pallas flash attention + capture vs reference einsum attention
+(interpreter mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.ops.flash_attention import flash_attention_with_capture
+
+
+def reference_attention(q, k, v, lengths, img_start, n_img):
+    B, H, S, hd = q.shape
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("bhsd,bhtd->bhst", q, k) * scale
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    valid = jnp.arange(S)[None, :] < lengths[:, None]
+    mask = causal[None, None] & valid[:, None, None, :]
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhst,bhtd->bhsd", probs.astype(q.dtype), v)
+    return out, probs[..., img_start:img_start + n_img]
+
+
+def test_flash_capture_matches_reference():
+    rng = np.random.default_rng(0)
+    B, H, S, hd = 2, 3, 512, 64
+    img_start, n_img = 128, 200
+    q = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([512, 384], jnp.int32)
+
+    out, img = flash_attention_with_capture(
+        q, k, v, lengths, img_start, n_img, interpret=True)
+    want_out, want_img = reference_attention(q, k, v, lengths, img_start, n_img)
+
+    # rows beyond the valid length are garbage in both paths; compare valid
+    for b, L in enumerate([512, 384]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, :L], np.asarray(want_out)[b, :, :L],
+            atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(img)[b, :, :L], np.asarray(want_img)[b, :, :L],
+            atol=2e-5)
+
+
+def test_flash_capture_probs_sum():
+    """Captured rows over a fully-visible image block must be proper
+    probabilities (sum <= 1, nonnegative)."""
+    rng = np.random.default_rng(1)
+    B, H, S, hd = 1, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32))
+    lengths = jnp.asarray([256], jnp.int32)
+    _, img = flash_attention_with_capture(q, k, v, lengths, 0, 128,
+                                          interpret=True)
+    arr = np.asarray(img)
+    assert (arr >= 0).all()
+    # query rows after the image block see all image keys
+    sums = arr[0, :, 200:].sum(-1)
+    assert (sums <= 1.0 + 1e-5).all()
