@@ -32,7 +32,7 @@ NEG_INF = -1e30
 
 
 def _kernel(
-    len_ref,  # (1,) SMEM: valid sequence length
+    len_ref,  # (B*H,) SMEM: valid sequence lengths (indexed by program 0)
     q_ref,  # (BLOCK, hd)
     k_ref,  # (S, hd)
     v_ref,  # (S, hd)
@@ -49,7 +49,7 @@ def _kernel(
     seq_len: int,
 ):
     qi = pl.program_id(1)
-    valid_len = len_ref[0]
+    valid_len = len_ref[pl.program_id(0)]
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
@@ -161,9 +161,8 @@ def flash_attention_with_capture(
     )
 
     def squeezed_kernel(len_all, q_r, k_r, v_r, o_r, img_r, acc, m, l, img_acc):
-        b = pl.program_id(0)
         _kernel(
-            len_all.at[pl.ds(b, 1)], q_r.at[0], k_r.at[0], v_r.at[0],
+            len_all, q_r.at[0], k_r.at[0], v_r.at[0],
             o_r.at[0], img_r.at[0], acc, m, l, img_acc,
             scale=scale, img_start=img_start, n_img_pad=n_img_pad,
             seq_len=S,

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""RefCOCO/RefCOCO+/RefCOCOg referring-segmentation evaluation.
+
+TPU-native replacement for ``accelerate launch scripts/multiprocess_eval_
+refcoco.py`` (reference :20-175): batched jitted inference with host-side
+original-resolution cIoU/mIoU scoring over the 8 standard splits.
+
+Example:
+  python scripts/eval_refcoco.py --family deepseek_vl --preset 1_3b \
+      --checkpoint /ckpts/deepseek-vl-1.3b-chat \
+      --sam-checkpoint /ckpts/sam_vit_l.pth \
+      --trained work_dirs/run/step_10000 \
+      --tokenizer deepseek-ai/deepseek-vl-1.3b-chat \
+      --data-root data/coco [--concat] [--debug]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SPLITS = [
+    ("refcoco", "refs(unc).p", "val"),
+    ("refcoco", "refs(unc).p", "testA"),
+    ("refcoco", "refs(unc).p", "testB"),
+    ("refcoco+", "refs(unc).p", "val"),
+    ("refcoco+", "refs(unc).p", "testA"),
+    ("refcoco+", "refs(unc).p", "testB"),
+    ("refcocog", "refs(umd).p", "val"),
+    ("refcocog", "refs(umd).p", "test"),
+]
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--family", default="deepseek_vl")
+    p.add_argument("--preset", default="1_3b")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--trained", default=None,
+                   help="Orbax checkpoint of trainable params")
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--data-root", default="data/coco")
+    p.add_argument("--image-dir", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seq-len", type=int, default=704)
+    p.add_argument("--max-masks", type=int, default=8)
+    p.add_argument("--concat", action="store_true",
+                   help="one pass per image instead of per expression")
+    p.add_argument("--debug", action="store_true", help="first 100 samples")
+    args = p.parse_args()
+
+    from transformers import AutoTokenizer
+
+    from flmm_tpu.convert import load as load_mod
+    from flmm_tpu.data import tokenization as tok
+    from flmm_tpu.data.collate import BatchSpec
+    from flmm_tpu.data.processors import ProcessorConfig
+    from flmm_tpu.data.refcoco import RefCocoDataset, refcoco_to_sample
+    from flmm_tpu.evalsuite.metrics import RefSegAccumulator
+    from flmm_tpu.evalsuite.runner import refcoco_score, run_eval
+    from flmm_tpu.models.mask_head.unet import output_hw
+    from flmm_tpu.registry import get_batch_builder, get_config, get_model
+    from flmm_tpu.train import checkpoint as ckpt
+
+    cfg = get_config(args.family, args.preset)
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    model = get_model(args.family)
+    params = model.init_params(cfg, jax.random.key(0))
+
+    loaders = {
+        "deepseek_vl": load_mod.deepseek_vl_frozen,
+        "llava": load_mod.llava_frozen,
+        "llava_next": lambda c, g, s=None: load_mod.llava_frozen(
+            c, g, s, next_variant=True),
+        "hpt": load_mod.hpt_frozen,
+    }
+    frozen = loaders[args.family](args.checkpoint, cfg, args.sam_checkpoint)
+    params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
+    if args.trained:
+        from flmm_tpu.train import loop as train_loop
+
+        opt = train_loop.make_optimizer(train_loop.OptimConfig())
+        state = train_loop.init_state(params["trainable"], opt)
+        state = ckpt.restore(args.trained, state)
+        params["trainable"] = state["params"]
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    template = tok.TEMPLATES["deepseek" if args.family == "deepseek_vl"
+                             else "vicuna"]
+    prompt = ("<image_placeholder>" * base.num_img_tokens
+              + "Please give me a description of the image.")
+    spec = tok.PromptSpec(template, prompt)
+    image_token_id = tokenizer.encode(
+        "<image_placeholder>", add_special_tokens=False)[-1]
+
+    hc, wc = output_hw(base.unet, (base.clip_shape, base.clip_shape))
+    bspec = BatchSpec(seq_len=args.seq_len, max_masks=args.max_masks,
+                      coarse_hw=(hc, wc),
+                      processor=ProcessorConfig(size=base.input_size))
+    build = get_batch_builder(args.family)
+
+    @jax.jit
+    def predict(batch):
+        return model.forward(params, cfg, batch)["sam_logits"]
+
+    def predict_np(batch):
+        batch = {k: v for k, v in batch.items() if k != "infos"}
+        return np.asarray(predict(jax.tree.map(jnp.asarray, batch)))
+
+    results = {}
+    root = pathlib.Path(args.data_root)
+    for name, split_file, split in SPLITS:
+        ds = RefCocoDataset(
+            ann_file=str(root / name / "instances.json"),
+            split_file=str(root / name / split_file),
+            image_path=args.image_dir or str(root / "train2014"),
+            split=split,
+        )
+        n = min(len(ds), 100) if args.debug else len(ds)
+
+        def samples():
+            for i in range(n):
+                yield from refcoco_to_sample(
+                    ds[i], tokenizer, spec, image_token_id,
+                    concat=args.concat,
+                    max_expressions=args.max_masks if args.concat else None,
+                )
+
+        acc = run_eval(samples(), predict_np, bspec, args.batch_size,
+                       RefSegAccumulator, refcoco_score)
+        results[f"{name}/{split}"] = acc.results()
+        print(json.dumps({f"{name}/{split}": results[f"{name}/{split}"]}),
+              flush=True)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
