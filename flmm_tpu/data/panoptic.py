@@ -12,6 +12,10 @@ from PIL import Image
 
 
 def rgb2id(color: np.ndarray) -> np.ndarray:
+    if color.dtype == np.uint8 and color.ndim >= 1 and color.shape[-1] == 3:
+        from flmm_tpu import runtime
+
+        return runtime.rgb2id(color).astype(np.uint32)
     color = color.astype(np.uint32)
     return color[..., 0] + 256 * color[..., 1] + 256 * 256 * color[..., 2]
 
@@ -31,7 +35,7 @@ def load_segment_map(path: str) -> np.ndarray:
 def segment_union_mask(segm_map: np.ndarray, segment_ids: list[int]) -> np.ndarray:
     """Union of the given segment ids as a binary uint8 mask
     (reference png.py:152-156)."""
-    mask = np.zeros(segm_map.shape, np.uint8)
-    for sid in segment_ids:
-        mask |= (segm_map == int(sid)).astype(np.uint8)
-    return mask
+    from flmm_tpu import runtime
+
+    return runtime.segment_union(segm_map.astype(np.int32),
+                                 [int(s) for s in segment_ids])

@@ -25,28 +25,17 @@ from flmm_tpu.data import tokenization as tok
 
 def polygons_to_mask(polygons: list, h: int, w: int) -> np.ndarray:
     """Rasterise COCO polygon segmentation (list of flat coord lists)."""
-    img = Image.new("L", (w, h), 0)
-    draw = ImageDraw.Draw(img)
-    for poly in polygons:
-        pts = [(poly[i], poly[i + 1]) for i in range(0, len(poly) - 1, 2)]
-        if len(pts) >= 3:
-            draw.polygon(pts, outline=1, fill=1)
-    return np.asarray(img, np.uint8)
+    from flmm_tpu import runtime
+
+    return runtime.polygons_fill(polygons, h, w)
 
 
 def rle_to_mask(rle: dict) -> np.ndarray:
     """Decode uncompressed COCO RLE {'counts': [...], 'size': [h, w]}."""
+    from flmm_tpu import runtime
+
     h, w = rle["size"]
-    counts = rle["counts"]
-    flat = np.zeros(h * w, np.uint8)
-    pos = 0
-    val = 0
-    for c in counts:
-        if val:
-            flat[pos:pos + c] = 1
-        pos += c
-        val ^= 1
-    return flat.reshape(w, h).T  # COCO RLE is column-major
+    return runtime.rle_decode(rle["counts"], h, w)
 
 
 class RefCocoDataset:
