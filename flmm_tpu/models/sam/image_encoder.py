@@ -39,6 +39,9 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: tuple = (5, 11, 17, 23)
     ln_eps: float = 1e-6
+    # Use the Pallas flash kernel (ops/sam_flash.py) for global blocks --
+    # fuses the decomposed rel-pos bias and never materialises SxS scores.
+    flash_global: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -151,9 +154,38 @@ def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
     return (out @ bp["wo"] + bp["bo"]).reshape(B, H, W, C)
 
 
+def _flash_global_attention(
+    x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
+) -> jnp.ndarray:
+    """Global attention through the fused Pallas kernel."""
+    from flmm_tpu.ops.sam_flash import sam_global_attention
+
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(
+            B * nh, H * W, hd)
+
+    out = sam_global_attention(
+        heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], H
+    )
+    out = out.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(
+        B, H * W, C)
+    return ((out @ bp["wo"]) + bp["bo"]).reshape(B, H, W, C)
+
+
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
     shortcut = x
     x = layer_norm(x, bp["ln1_w"], bp["ln1_b"], cfg.ln_eps)
+    if not windowed and cfg.flash_global and x.shape[1] == x.shape[2] \
+            and (x.shape[1] * x.shape[2]) % 128 == 0:
+        x = _flash_global_attention(x, bp, cfg)
+        x = shortcut + x
+        y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
+        return x + mlp_block(y, bp["mlp"])
     if windowed:
         B, H, W, C = x.shape
         ws = cfg.window_size

@@ -1,0 +1,43 @@
+"""SAM global-attention flash kernel vs the XLA reference path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.ops.sam_flash import sam_global_attention
+
+
+def reference(q, k, v, rph, rpw, side):
+    G, S, hd = q.shape
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("gqd,gkd->gqk", q * scale, k)
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rph[coords]
+    rw = rpw[coords]
+    qg = q.reshape(G, side, side, hd)
+    bh = jnp.einsum("gyxd,ykd->gyxk", qg, rh)
+    bw = jnp.einsum("gyxd,xkd->gyxk", qg, rw)
+    logits = logits.reshape(G, side, side, side, side)
+    logits = logits + bh[..., :, None] + bw[..., None, :]
+    logits = logits.reshape(G, S, S)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum("gqk,gkd->gqd", probs.astype(q.dtype), v)
+
+
+def test_sam_flash_parity_interpret():
+    rng = np.random.default_rng(0)
+    side, hd, G = 16, 32, 2  # S = 256
+    S = side * side
+    q = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    got = sam_global_attention(q, k, v, rph, rpw, side, interpret=True)
+    want = reference(q, k, v, rph, rpw, side)
+    # bias is carried in bf16 inside the kernel
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
+    assert corr > 0.9999
