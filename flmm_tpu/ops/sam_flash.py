@@ -25,42 +25,57 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLOCK = 128
-
-
 def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, scale: float, side: int, seq: int):
-    rows_per_tile = BLOCK // side  # key-grid rows covered by one key tile
+            acc_ref, m_ref, l_ref, *, scale: float, side: int,
+            block_q: int, block_k: int):
+    """One (g, qi, kj) grid step: process key tile kj for query tile qi.
 
-    acc_ref[...] = jnp.zeros_like(acc_ref)
-    m_ref[...] = jnp.full_like(m_ref, -1e30)
-    l_ref[...] = jnp.zeros_like(l_ref)
+    TPU grid execution is sequential with the last axis innermost, so the
+    VMEM scratch accumulators carry across the kj sweep; they are reset at
+    kj == 0 and flushed to the output at the final key tile.
+    """
+    kj = pl.program_id(2)
+    n_k = pl.num_programs(2)
+    rows_per_tile = block_k // side  # key-grid rows covered by one key tile
+
+    @pl.when(kj == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
 
     q = q_ref[...].astype(jnp.float32) * scale
-    bw = bw_ref[...].astype(jnp.float32)  # (BLOCK, side)
+    bh = bh_ref[...].astype(jnp.float32)  # (BLOCK, side): per-yk bias
+    bw = bw_ref[...].astype(jnp.float32)  # (BLOCK, side): per-xk bias
 
-    def body(kj, _):
-        k = k_ref[pl.ds(kj * BLOCK, BLOCK), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kj * BLOCK, BLOCK), :].astype(jnp.float32)
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
-        bh = bh_ref[:, pl.ds(kj * rows_per_tile, rows_per_tile)].astype(
-            jnp.float32)  # (BLOCK, rows_per_tile)
-        bias = (bh[:, :, None] + bw[:, None, :]).reshape(BLOCK, BLOCK)
-        s = s + bias
+    # key j in tile kj sits at grid cell (kj*rows_per_tile + j//side,
+    # j%side).  Expand the thin biases over the key tile with one-hot
+    # selection matmuls (dynamic lane slicing is not Mosaic-friendly).
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (side, block_k), 0)
+    j_of = jax.lax.broadcasted_iota(jnp.int32, (side, block_k), 1)
+    sel_w = (row_of == j_of % side).astype(jnp.float32)  # (side, BLOCK)
+    sel_h = (row_of == kj * rows_per_tile + j_of // side).astype(jnp.float32)
 
-        m_prev = m_ref[...]
-        m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
-        m_ref[...] = m_new
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
-        acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-            p, v, preferred_element_type=jnp.float32)
-        return ()
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
 
-    jax.lax.fori_loop(0, seq // BLOCK, body, ())
-    o_ref[...] = (acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)).astype(
-        o_ref.dtype)
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
+    m_ref[...] = m_new
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
+        p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(kj == n_k - 1)
+    def _():
+        o_ref[...] = (
+            acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
+        ).astype(o_ref.dtype)
 
 
 def sam_global_attention(
@@ -78,7 +93,10 @@ def sam_global_attention(
     Returns ``(G, S, hd)``.
     """
     G, S, hd = q.shape
-    assert S == side * side and S % BLOCK == 0 and BLOCK % side == 0
+    block_q = min(512, S)
+    block_k = min(512, S)
+    assert S == side * side and S % block_q == 0 and S % block_k == 0
+    assert block_k % side == 0
     scale = 1.0 / math.sqrt(hd)
 
     # static rel-pos gathers: (side, side, hd)
@@ -94,7 +112,8 @@ def sam_global_attention(
     bias_h = bias_h.astype(jnp.bfloat16)
     bias_w = bias_w.astype(jnp.bfloat16)
 
-    kernel = functools.partial(_kernel, scale=scale, side=side, seq=S)
+    kernel = functools.partial(_kernel, scale=scale, side=side,
+                               block_q=block_q, block_k=block_k)
 
     def squeezed(q_r, k_r, v_r, bh_r, bw_r, o_r, acc, m, l):
         kernel(q_r.at[0], k_r.at[0], v_r.at[0], bh_r.at[0], bw_r.at[0],
@@ -102,20 +121,20 @@ def sam_global_attention(
 
     out = pl.pallas_call(
         squeezed,
-        grid=(G, S // BLOCK),
+        grid=(G, S // block_q, S // block_k),
         in_specs=[
-            pl.BlockSpec((1, BLOCK, hd), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, BLOCK, side), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, BLOCK, side), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, block_q, hd), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_k, hd), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, block_q, side), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, block_q, side), lambda g, i, j: (g, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, BLOCK, hd), lambda g, i: (g, i, 0)),
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i, j: (g, i, 0)),
         out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BLOCK, hd), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
-            pltpu.VMEM((BLOCK, 1), jnp.float32),
+            pltpu.VMEM((block_q, hd), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, bias_h, bias_w)

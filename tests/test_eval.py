@@ -76,3 +76,36 @@ def test_run_eval_with_mock_predictor():
     assert r["n"] == 3
     assert r["cIoU"] > 85.0, r  # resampling chain keeps IoU high
     assert r["mIoU"] > 85.0, r
+
+
+def test_sharded_eval_matches_host_terms():
+    import jax
+    import jax.numpy as jnp
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.data.synthetic import synthetic_batch
+    from flmm_tpu.models.frozen import grounding as model
+    from flmm_tpu.evalsuite.sharded import (
+        batch_iou_terms, finalize, make_sharded_eval_step,
+    )
+    from flmm_tpu.parallel import mesh as mesh_lib
+
+    cfg = tiny()
+    params = model.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, batch_size=8))
+
+    def fwd(p, b):
+        return model.forward(p, cfg, b)
+
+    # single device baseline
+    out = fwd(params, batch)
+    want = {k: float(v) for k, v in batch_iou_terms(
+        out["sam_logits"], batch["gt_sam"], batch["sam_weight"],
+        batch["mask_valid"]).items()}
+
+    mesh = mesh_lib.make_mesh(n_data=8, n_model=1)
+    run = make_sharded_eval_step(fwd, mesh)
+    got = {k: float(v) for k, v in run(params, batch).items()}
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-2 + 1e-3 * abs(want[k]), (k, got, want)
+    r = finalize(run(params, batch))
+    assert 0 <= r["cIoU"] <= 100 and r["n"] > 0

@@ -83,3 +83,35 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert ckpt.latest(tmp_path).name == "step_5"
+
+
+def test_nonfinite_guard_skips_bad_updates():
+    import optax
+    from flmm_tpu.train.diagnostics import nonfinite_guard
+
+    opt = nonfinite_guard(optax.sgd(0.1))
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    bad = {"w": jnp.full((3,), jnp.nan)}
+    updates, state = opt.update(bad, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_array_equal(np.asarray(new["w"]), np.ones(3))
+    good = {"w": jnp.ones((3,))}
+    updates, state = opt.update(good, state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["w"]), 0.9)
+
+
+def test_metric_logger_and_timer(tmp_path):
+    from flmm_tpu.train.diagnostics import MetricLogger, StepTimer
+
+    log = MetricLogger(path=tmp_path / "m.jsonl", interval=2)
+    for s in range(1, 5):
+        log.log(s, {"loss": s * 1.0})
+    log.close()
+    import json
+    lines = [json.loads(l) for l in (tmp_path / "m.jsonl").read_text().splitlines()]
+    assert [l["step"] for l in lines] == [2, 4]
+    t = StepTimer()
+    t.tick()
+    assert t.mean >= 0
