@@ -50,6 +50,11 @@ class GroundingConfig:
     # image_size the position embeddings are bicubically resampled (HPT,
     # reference frozen_hpt.py:41-70)
     image_input_size: int | None = None
+    # DeepSeek-VL-7B hybrid tower: SAM-B high-res branch paired with the
+    # low-res tower in cfg.vision, fused by the split projector
+    # (reference deepseek_vl/models/clip_encoder.py:126-203,
+    # projector.py:47-56).  None for single-tower families.
+    hybrid_high: Any = None
     dtype: Any = jnp.bfloat16
 
     @property
@@ -75,20 +80,36 @@ def init_params(cfg: GroundingConfig, key: jax.Array) -> dict:
             "b": jnp.zeros((o,), jnp.float32),
         }
 
-    proj_layers = [lin(jax.random.split(ks[2], cfg.projector_depth)[i],
-                       d_vis if i == 0 else d_llm, d_llm)
-                   for i in range(cfg.projector_depth)]
+    if cfg.hybrid_high is not None:
+        # low_high_hybrid_split_mlp_gelu (reference projector.py:47-56)
+        pk = jax.random.split(ks[2], cfg.projector_depth + 2)
+        proj_layers = {
+            "high_up": lin(pk[0], cfg.hybrid_high.out_channels, d_llm // 2),
+            "low_up": lin(pk[1], d_vis, d_llm // 2),
+            "layers": [lin(pk[2 + i], d_llm, d_llm)
+                       for i in range(cfg.projector_depth - 1)],
+        }
+    else:
+        proj_layers = [lin(jax.random.split(ks[2], cfg.projector_depth)[i],
+                           d_vis if i == 0 else d_llm, d_llm)
+                       for i in range(cfg.projector_depth)]
     from flmm_tpu.models.sam import mask_decoder as smd
     from flmm_tpu.models.sam import prompt_encoder as spe
     from flmm_tpu.models.sam import transformer as stw  # noqa: F401
 
+    frozen = {
+        "llm": llm.init_params(cfg.llm, ks[0]),
+        "vision": vit.init_params(cfg.vision, ks[1]),
+        "projector": proj_layers,
+        "sam_encoder": sam_encoder.init_params(cfg.sam.encoder, ks[3]),
+    }
+    if cfg.hybrid_high is not None:
+        from flmm_tpu.models.vision import sam_tower
+
+        frozen["vision_high"] = sam_tower.init_params(
+            cfg.hybrid_high, jax.random.fold_in(key, 77))
     return {
-        "frozen": {
-            "llm": llm.init_params(cfg.llm, ks[0]),
-            "vision": vit.init_params(cfg.vision, ks[1]),
-            "projector": proj_layers,
-            "sam_encoder": sam_encoder.init_params(cfg.sam.encoder, ks[3]),
-        },
+        "frozen": frozen,
         "trainable": {
             "unet": unet.init_params(cfg.unet, ks[4]),
             "text_proj": lin(ks[5], d_llm, d_sam),
@@ -111,6 +132,17 @@ def _project(features: jnp.ndarray, layers: list) -> jnp.ndarray:
     return x
 
 
+def _project_hybrid(high: jnp.ndarray, low: jnp.ndarray, p: dict):
+    """low_high_hybrid_split_mlp_gelu (reference projector.py:77-82)."""
+    h = high @ p["high_up"]["w"].astype(high.dtype) +         p["high_up"]["b"].astype(high.dtype)
+    l = low @ p["low_up"]["w"].astype(low.dtype) +         p["low_up"]["b"].astype(low.dtype)
+    x = jnp.concatenate([h, l], axis=-1)
+    for lp in p["layers"]:
+        x = jax.nn.gelu(x, approximate=False)
+        x = x @ lp["w"].astype(x.dtype) + lp["b"].astype(x.dtype)
+    return x
+
+
 def forward(params: dict, cfg: GroundingConfig, batch: dict) -> dict:
     """Full grounding forward for a static-shape batch.
 
@@ -130,14 +162,25 @@ def forward(params: dict, cfg: GroundingConfig, batch: dict) -> dict:
     M = batch["mask_valid"].shape[1]
     n_img = cfg.num_img_tokens
 
-    # 1. vision tower + aligner -> image token embeddings
+    # 1. vision tower(s) + aligner -> image token embeddings
     feats = vit.forward(
         fro["vision"], cfg.vision, batch["pixel_values"],
         select_layer=cfg.vision_select_layer,
     )
     if cfg.vision_drop_cls:
         feats = feats[:, 1:]
-    img_embeds = _project(feats, fro["projector"]).astype(cfg.dtype)
+    if cfg.hybrid_high is not None:
+        from flmm_tpu.models.vision import sam_tower
+
+        high = sam_tower.forward(
+            fro["vision_high"], cfg.hybrid_high,
+            batch["hires_pixel_values"],
+        )
+        high = high.reshape(B, -1, high.shape[-1])
+        img_embeds = _project_hybrid(high, feats, fro["projector"]).astype(
+            cfg.dtype)
+    else:
+        img_embeds = _project(feats, fro["projector"]).astype(cfg.dtype)
 
     # 2. scatter into the packed sequence (contiguous static block)
     embeds = llm.embed_tokens(fro["llm"], cfg.llm, batch["input_ids"]).astype(

@@ -39,9 +39,11 @@ class SamEncoderConfig:
     window_size: int = 14
     global_attn_indexes: tuple = (5, 11, 17, 23)
     ln_eps: float = 1e-6
-    # Use the Pallas flash kernel (ops/sam_flash.py) for global blocks --
-    # fuses the decomposed rel-pos bias and never materialises SxS scores.
+    # Use the Pallas flash kernels (ops/sam_flash.py): global blocks fuse
+    # the decomposed rel-pos bias and never materialise SxS scores; window
+    # blocks run one window per grid step with one-shot softmax.
     flash_global: bool = False
+    flash_window: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -177,12 +179,51 @@ def _flash_global_attention(
     return ((out @ bp["wo"]) + bp["bo"]).reshape(B, H, W, C)
 
 
+def _flash_window_attention(
+    x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
+) -> jnp.ndarray:
+    """Windowed attention through the per-window Pallas kernel."""
+    from flmm_tpu.ops.sam_flash import sam_window_attention
+
+    B, H, W, C = x.shape
+    ws = cfg.window_size
+    nh, hd = cfg.num_heads, cfg.head_dim
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    xw = xp.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+    nw = xw.shape[0]
+    qkv = xw @ bp["wqkv"] + bp["bqkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(nw, ws * ws, nh, hd).transpose(0, 2, 1, 3).reshape(
+            nw * nh, ws * ws, hd)
+
+    out = sam_window_attention(
+        heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], ws
+    )
+    out = out.reshape(nw, nh, ws * ws, hd).transpose(0, 2, 1, 3).reshape(
+        nw, ws * ws, C)
+    out = out @ bp["wo"] + bp["bo"]
+    out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return out[:, :H, :W]
+
+
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
     shortcut = x
     x = layer_norm(x, bp["ln1_w"], bp["ln1_b"], cfg.ln_eps)
     if not windowed and cfg.flash_global and x.shape[1] == x.shape[2] \
             and (x.shape[1] * x.shape[2]) % 128 == 0:
         x = _flash_global_attention(x, bp, cfg)
+        x = shortcut + x
+        y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
+        return x + mlp_block(y, bp["mlp"])
+    if windowed and cfg.flash_window:
+        x = _flash_window_attention(x, bp, cfg)
         x = shortcut + x
         y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
         return x + mlp_block(y, bp["mlp"])

@@ -56,7 +56,7 @@ def _kernel(
     l_ref[...] = jnp.zeros_like(l_ref)
     img_acc_ref[...] = jnp.zeros_like(img_acc_ref)
 
-    q = q_ref[...].astype(jnp.float32) * scale
+    q = q_ref[...]  # native dtype into the MXU; scale folded in post-matmul
     q_pos = qi * BLOCK + jax.lax.broadcasted_iota(
         jnp.int32, (BLOCK, BLOCK), 0
     )
@@ -68,9 +68,9 @@ def _kernel(
     def body(kj, _):
         @pl.when(kj <= qi)
         def _():
-            k = k_ref[pl.ds(kj * BLOCK, BLOCK), :].astype(jnp.float32)
-            v = v_ref[pl.ds(kj * BLOCK, BLOCK), :].astype(jnp.float32)
-            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+            k = k_ref[pl.ds(kj * BLOCK, BLOCK), :]
+            v = v_ref[pl.ds(kj * BLOCK, BLOCK), :]
+            s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
             k_pos = kj * BLOCK + jax.lax.broadcasted_iota(
                 jnp.int32, (BLOCK, BLOCK), 1
             )
@@ -85,7 +85,7 @@ def _kernel(
             p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
             l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
             acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-                p, v, preferred_element_type=jnp.float32
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
             )
             img_acc_ref[...] = img_acc_ref[...] * alpha
 

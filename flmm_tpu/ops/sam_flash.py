@@ -44,21 +44,21 @@ def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
         m_ref[...] = jnp.full_like(m_ref, -1e30)
         l_ref[...] = jnp.zeros_like(l_ref)
 
-    q = q_ref[...].astype(jnp.float32) * scale
-    bh = bh_ref[...].astype(jnp.float32)  # (BLOCK, side): per-yk bias
-    bw = bw_ref[...].astype(jnp.float32)  # (BLOCK, side): per-xk bias
+    q = q_ref[...]  # keep bf16: MXU-native (scale folded in after matmul)
+    bh = bh_ref[...]
+    bw = bw_ref[...]
 
     # key j in tile kj sits at grid cell (kj*rows_per_tile + j//side,
     # j%side).  Expand the thin biases over the key tile with one-hot
     # selection matmuls (dynamic lane slicing is not Mosaic-friendly).
     row_of = jax.lax.broadcasted_iota(jnp.int32, (side, block_k), 0)
     j_of = jax.lax.broadcasted_iota(jnp.int32, (side, block_k), 1)
-    sel_w = (row_of == j_of % side).astype(jnp.float32)  # (side, BLOCK)
-    sel_h = (row_of == kj * rows_per_tile + j_of // side).astype(jnp.float32)
+    sel_w = (row_of == j_of % side).astype(q.dtype)  # (side, BLOCK_K)
+    sel_h = (row_of == kj * rows_per_tile + j_of // side).astype(q.dtype)
 
-    k = k_ref[...].astype(jnp.float32)
-    v = v_ref[...].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    k = k_ref[...]
+    v = v_ref[...]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
     s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
 
@@ -69,13 +69,101 @@ def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
     p = jnp.exp(s - m_new)
     l_ref[...] = l_ref[...] * alpha + p.sum(axis=1, keepdims=True)
     acc_ref[...] = acc_ref[...] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32)
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     @pl.when(kj == n_k - 1)
     def _():
         o_ref[...] = (
             acc_ref[...] / jnp.maximum(l_ref[...], 1e-30)
         ).astype(o_ref.dtype)
+
+
+def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                   scale: float, side: int, valid: int):
+    """One window per grid step: one-shot softmax over <=256 tokens with
+    the decomposed rel-pos bias expanded by one-hot selection matmuls."""
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    bh = bh_ref[...]
+    bw = bw_ref[...]
+    tp = q.shape[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+
+    row_of = jax.lax.broadcasted_iota(jnp.int32, (side, tp), 0)
+    j_of = jax.lax.broadcasted_iota(jnp.int32, (side, tp), 1)
+    in_win = j_of < valid
+    sel_h = ((row_of == j_of // side) & in_win).astype(q.dtype)
+    sel_w = ((row_of == j_of % side) & in_win).astype(q.dtype)
+    s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
+    s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
+
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
+    s = jnp.where(col_ok, s, -1e30)
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=1, keepdims=True)
+    o_ref[...] = (
+        jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        / jnp.maximum(l, 1e-30)
+    ).astype(o_ref.dtype)
+
+
+def sam_window_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention (reference image_encoder windowed blocks).
+
+    Args:
+      q, k, v: ``(G, T, hd)`` per-window tokens, ``T = side*side`` (padded
+        internally to a sublane multiple).
+      rel_pos_h/w: ``(2*side-1, hd)``.
+
+    Returns ``(G, T, hd)``.
+    """
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(jnp.float32)
+    rw = rel_pos_w[coords].astype(jnp.float32)
+    qg = q.reshape(G, side, side, hd).astype(jnp.float32)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw).reshape(G, T, side)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, tp - T), (0, 0)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    bh = pad(bias_h).astype(jnp.bfloat16)
+    bw = pad(bias_w).astype(jnp.bfloat16)
+
+    kernel = functools.partial(_window_kernel, scale=scale, side=side,
+                               valid=T)
+
+    def squeezed(q_r, k_r, v_r, bh_r, bw_r, o_r):
+        kernel(q_r.at[0], k_r.at[0], v_r.at[0], bh_r.at[0], bw_r.at[0],
+               o_r.at[0])
+
+    out = pl.pallas_call(
+        squeezed,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, tp, side), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, tp, side), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bh, bw)
+    return out[:, :T]
 
 
 def sam_global_attention(

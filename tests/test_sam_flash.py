@@ -41,3 +41,23 @@ def test_sam_flash_parity_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_sam_window_flash_parity_interpret():
+    from flmm_tpu.ops.sam_flash import sam_window_attention
+
+    rng = np.random.default_rng(2)
+    side, hd, G = 7, 16, 3  # T = 49 (odd size exercises padding)
+    T = side * side
+    q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    rph = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32) * 0.1)
+    rpw = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32) * 0.1)
+    got = sam_window_attention(q, k, v, rph, rpw, side, interpret=True)
+    want = reference(q, k, v, rph, rpw, side)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
+    assert corr > 0.9999
