@@ -63,6 +63,36 @@ def deepseek_vl_1_3b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
     )
 
 
+def deepseek_vl_7b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
+    """DeepSeek-VL-7B-chat grounding stack: hybrid tower (SAM-B high-res @
+    1024 + SigLIP-L/16-384 low-res, reference deepseek_vl/models/
+    clip_encoder.py:126-203) with the split mlp_gelu projector."""
+    from flmm_tpu.models.vision.sam_tower import SamTowerConfig
+
+    llm = DecoderConfig(
+        vocab_size=102400, hidden_size=4096, num_layers=30, num_heads=32,
+        num_kv_heads=32, head_dim=128, intermediate_size=11008,
+        rope_theta=10000.0, rms_eps=1e-6, dtype=dtype,
+    )
+    vision = ViTConfig(
+        hidden_size=1024, num_layers=24, num_heads=16, patch_size=16,
+        image_size=384, mlp_dim=4096, use_class_token=False,
+        act="gelu", ln_eps=1e-6, final_norm=True, dtype=dtype,
+    )
+    base = deepseek_vl_1_3b(dtype)
+    import dataclasses
+
+    hybrid = SamTowerConfig(dtype=dtype)
+    hybrid = dataclasses.replace(
+        hybrid, encoder=dataclasses.replace(hybrid.encoder, dtype=dtype))
+    return dataclasses.replace(
+        base, llm=llm, vision=vision,
+        unet=UNetConfig(in_channels=30 * 32),
+        hybrid_high=hybrid,
+        image_input_size=384,
+    )
+
+
 def tiny(dtype=jnp.float32, img_start: int = 3) -> DeepseekVLGroundingConfig:
     """Toy-dimension config with the production topology (CPU-runnable)."""
     llm = DecoderConfig(
@@ -99,3 +129,23 @@ def tiny(dtype=jnp.float32, img_start: int = 3) -> DeepseekVLGroundingConfig:
         projector_depth=2, img_start=img_start, num_img_tokens=64,
         clip_shape=8, dtype=dtype,
     )
+
+
+def tiny_hybrid(dtype=jnp.float32, img_start: int = 3):
+    """Toy hybrid-tower (DeepSeek-7B topology) config."""
+    import dataclasses
+
+    from flmm_tpu.models.vision.sam_tower import SamTowerConfig
+
+    base = tiny(dtype=dtype, img_start=img_start)
+    hybrid = SamTowerConfig(
+        encoder=SamEncoderConfig(
+            img_size=64, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+            mlp_ratio=2.0, out_chans=8, window_size=2,
+            global_attn_indexes=(1,), dtype=dtype,
+        ),
+        downsample_channels=(16, 32),
+        neck_size=32,  # 64/16=4 grid -> neck resize 32 -> /4 = 8 = clip grid
+        dtype=dtype,
+    )
+    return dataclasses.replace(base, hybrid_high=hybrid)

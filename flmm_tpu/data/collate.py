@@ -29,6 +29,9 @@ class BatchSpec:
     prompt_size: int = 256
     pad_token_id: int = 0
     processor: ProcessorConfig = dataclasses.field(default_factory=ProcessorConfig)
+    # hybrid towers (DeepSeek-VL-7B): also emit a high-res square-padded
+    # tensor at this size (the low-res tensor stays at processor.size)
+    hires_size: int | None = None
 
 
 def _nearest_resize(mask: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
@@ -88,6 +91,8 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
     text_valid = np.zeros((B, M, T), bool)
     pixels = np.zeros((B, spec.processor.size, spec.processor.size, 3),
                       np.float32)
+    hires = (np.zeros((B, spec.hires_size, spec.hires_size, 3), np.float32)
+             if spec.hires_size else None)
     sam_pixels = np.zeros((B, spec.sam_size, spec.sam_size, 3), np.float32)
     gt_coarse = np.zeros((B, M, Hc, Wc), np.float32)
     gt_sam = np.zeros((B, M, P, P), np.float32)
@@ -107,6 +112,12 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
         proc = square_pad_preprocess(s["image"], spec.processor)
         sam = sam_preprocess(s["image"], spec.sam_size)
         pixels[b] = proc["pixel_values"]
+        if hires is not None:
+            import dataclasses as _dc
+
+            hproc = square_pad_preprocess(
+                s["image"], _dc.replace(spec.processor, size=spec.hires_size))
+            hires[b] = hproc["pixel_values"]
         sam_pixels[b] = sam["sam_pixel_values"]
         meta, sam_hw = proc["meta"], sam["sam_input_size"]
         metas.append(meta)
@@ -134,7 +145,7 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
             "mask_infos": s.get("mask_infos"),
         })
 
-    return {
+    out_batch = {
         "input_ids": input_ids,
         "attn_mask": attn_mask,
         "mask_ids": mask_ids,
@@ -150,3 +161,6 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
         "sam_weight": sweight,
         "infos": infos,
     }
+    if hires is not None:
+        out_batch["hires_pixel_values"] = hires
+    return out_batch

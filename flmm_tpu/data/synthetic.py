@@ -91,6 +91,10 @@ def synthetic_batch(
         "text_valid": text_valid,
         "pixel_values": rng.standard_normal(
             (B, lmm_size, lmm_size, 3)).astype(np.float32) * 0.3,
+        **({"hires_pixel_values": rng.standard_normal(
+            (B, cfg.hybrid_high.encoder.img_size,
+             cfg.hybrid_high.encoder.img_size, 3)).astype(np.float32) * 0.3}
+           if getattr(cfg, "hybrid_high", None) is not None else {}),
         "sam_pixel_values": rng.standard_normal(
             (B, sam_size, sam_size, 3)).astype(np.float32) * 0.3,
         "geom": geometry.batch_geom(metas, (Hc, Wc), sam_hws),

@@ -79,3 +79,15 @@ def test_metrics_keys_match_reference(setup):
     for k in ("loss_mask", "loss_dice", "accuracy", "aiou",
               "sam_loss_mask", "sam_loss_dice", "sam_accuracy", "sam_aiou"):
         assert k in metrics
+
+
+def test_hybrid_tower_forward():
+    from flmm_tpu.configs.deepseek_vl import tiny_hybrid
+    from flmm_tpu.data.synthetic import synthetic_batch
+
+    cfg = tiny_hybrid()
+    params = model.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, batch_size=2))
+    assert "hires_pixel_values" in batch
+    out = model.forward(params, cfg, batch)
+    assert np.isfinite(np.asarray(out["sam_logits"])).all()
