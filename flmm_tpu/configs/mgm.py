@@ -96,3 +96,24 @@ def tiny_mgm(dtype=jnp.float32, img_start: int = 3, hd: bool = False):
                            image_size=64 * grid, dtype=dtype),
         image_grid=grid, image_global=hd,
     )
+
+
+def mixtral_8x7b(dtype=jnp.bfloat16) -> DecoderConfig:
+    return DecoderConfig(
+        vocab_size=32000, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate_size=14336,
+        rope_theta=1e6, rms_eps=1e-5, num_experts=8, num_experts_per_tok=2,
+        dtype=dtype,
+    )
+
+
+def mgm_mixtral_8x7b(dtype=jnp.bfloat16, img_start: int = 4) -> MGMConfig:
+    """MGM-Mixtral-8x7B (reference mgm/model/language_model/mgm_mixtral.py)."""
+    return _mgm(mixtral_8x7b(dtype), dtype, 1, False, 768, img_start)
+
+
+def mgm_mistral_7b(dtype=jnp.bfloat16, img_start: int = 4) -> MGMConfig:
+    """MGM-Mistral-7B (reference mgm/model/language_model/mgm_mistral.py)."""
+    from flmm_tpu.configs.llava_next import mistral_7b
+
+    return _mgm(mistral_7b(dtype), dtype, 1, False, 768, img_start)

@@ -55,10 +55,30 @@ def llama_decoder_params(
         "wk": stack(prefix + "layers.{i}.self_attn.k_proj.weight"),
         "wv": stack(prefix + "layers.{i}.self_attn.v_proj.weight"),
         "wo": stack(prefix + "layers.{i}.self_attn.o_proj.weight"),
-        "w_gate": stack(prefix + "layers.{i}.mlp.gate_proj.weight"),
-        "w_up": stack(prefix + "layers.{i}.mlp.up_proj.weight"),
-        "w_down": stack(prefix + "layers.{i}.mlp.down_proj.weight"),
     }
+    if cfg.num_experts > 0:
+        # Mixtral block_sparse_moe: w1=gate, w3=up, w2=down
+        E = cfg.num_experts
+
+        def estack(w_name):
+            per_layer = []
+            for i in range(L):
+                per_layer.append(np.stack([
+                    get(prefix + f"layers.{i}.block_sparse_moe.experts."
+                                 f"{e}.{w_name}.weight").T
+                    for e in range(E)
+                ]))
+            return jnp.asarray(np.stack(per_layer), dtype)
+
+        layers["router"] = stack(
+            prefix + "layers.{i}.block_sparse_moe.gate.weight")
+        layers["w_gate"] = estack("w1")
+        layers["w_up"] = estack("w3")
+        layers["w_down"] = estack("w2")
+    else:
+        layers["w_gate"] = stack(prefix + "layers.{i}.mlp.gate_proj.weight")
+        layers["w_up"] = stack(prefix + "layers.{i}.mlp.up_proj.weight")
+        layers["w_down"] = stack(prefix + "layers.{i}.mlp.down_proj.weight")
     if cfg.attn_bias:
         layers["bq"] = stack(prefix + "layers.{i}.self_attn.q_proj.bias", False)
         layers["bk"] = stack(prefix + "layers.{i}.self_attn.k_proj.bias", False)

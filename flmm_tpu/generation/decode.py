@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from flmm_tpu.models.llm.decoder import (
-    DecoderConfig, apply_rope, rms_norm, rope_tables, _act,
+    DecoderConfig, _mlp, apply_rope, rms_norm, rope_tables,
 )
 
 
@@ -70,7 +70,7 @@ def _layer_step(
     out = jnp.einsum("ht,thd->hd", probs.astype(h.dtype), vv).reshape(1, -1)
     h = h + out @ lp["wo"]
     x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
-    h = h + (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp["w_down"]
+    h = h + _mlp(x2[None], lp, cfg)[0]
     img_probs = jax.lax.dynamic_slice_in_dim(probs, img_start, n_img, axis=1)
     return h, k_cache, v_cache, img_probs  # img: (H, n_img)
 
@@ -134,7 +134,7 @@ def prefill(
         ).reshape(1, S, -1)
         h = h + out @ lp["wo"]
         x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
-        h = h + (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp["w_down"]
+        h = h + _mlp(x2, lp, cfg)
         img = jax.lax.dynamic_slice_in_dim(probs[0], img_start, n_img, axis=2)
         pad = jnp.zeros((max_new_tokens, KV, hd), cfg.dtype)
         kc = jnp.concatenate([k[0], pad], axis=0)

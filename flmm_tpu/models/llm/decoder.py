@@ -53,6 +53,12 @@ class DecoderConfig:
     gemma_norm: bool = False  # gemma rmsnorm uses (1 + w)
     attn_bias: bool = False
     tie_embeddings: bool = False
+    # Mixture-of-experts MLP (Mixtral, for MGM-Mixtral): 0 = dense.  The
+    # frozen-capture path computes all experts densely and masks by the
+    # top-k router gates -- correct and jit-static (top-k dispatch is an
+    # optimisation left to a later pass).
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
     dtype: Any = jnp.bfloat16
 
     @property
@@ -82,19 +88,31 @@ def init_params(cfg: DecoderConfig, key: jax.Array) -> Params:
             cfg.dtype
         )
 
-    params = {
-        "embed": w(ks[0], (cfg.vocab_size, d), d),
-        "layers": {
-            "ln1": norm_init((L, d)),
-            "ln2": norm_init((L, d)),
-            "wq": w(ks[1], (L, d, cfg.q_dim), d),
-            "wk": w(ks[2], (L, d, cfg.kv_dim), d),
-            "wv": w(ks[3], (L, d, cfg.kv_dim), d),
-            "wo": w(ks[4], (L, cfg.q_dim, d), cfg.q_dim),
+    layers = {
+        "ln1": norm_init((L, d)),
+        "ln2": norm_init((L, d)),
+        "wq": w(ks[1], (L, d, cfg.q_dim), d),
+        "wk": w(ks[2], (L, d, cfg.kv_dim), d),
+        "wv": w(ks[3], (L, d, cfg.kv_dim), d),
+        "wo": w(ks[4], (L, cfg.q_dim, d), cfg.q_dim),
+    }
+    if cfg.num_experts > 0:
+        E = cfg.num_experts
+        layers.update({
+            "router": w(ks[5], (L, d, E), d),
+            "w_gate": w(ks[5], (L, E, d, f), d),
+            "w_up": w(ks[6], (L, E, d, f), d),
+            "w_down": w(ks[7], (L, E, f, d), f),
+        })
+    else:
+        layers.update({
             "w_gate": w(ks[5], (L, d, f), d),
             "w_up": w(ks[6], (L, d, f), d),
             "w_down": w(ks[7], (L, f, d), f),
-        },
+        })
+    params = {
+        "embed": w(ks[0], (cfg.vocab_size, d), d),
+        "layers": layers,
         "final_norm": norm_init((d,)),
     }
     if cfg.attn_bias:
@@ -153,6 +171,23 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     if kind == "gelu_tanh":
         return jax.nn.gelu(x, approximate=True)
     raise ValueError(kind)
+
+
+def _mlp(x2: jnp.ndarray, lp: dict, cfg: "DecoderConfig") -> jnp.ndarray:
+    """Dense SwiGLU MLP or Mixtral sparse-MoE (computed densely)."""
+    if cfg.num_experts == 0:
+        return (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp[
+            "w_down"]
+    # Mixtral router: softmax over the top-k expert logits per token
+    logits = (x2 @ lp["router"]).astype(jnp.float32)  # (..., E)
+    top_vals, _ = jax.lax.top_k(logits, cfg.num_experts_per_tok)
+    thresh = top_vals[..., -1:]
+    masked = jnp.where(logits >= thresh, logits, -jnp.inf)
+    gates = jax.nn.softmax(masked, axis=-1).astype(x2.dtype)  # (..., E)
+    h = _act(jnp.einsum("bsd,edf->besf", x2, lp["w_gate"]), cfg.act) * \
+        jnp.einsum("bsd,edf->besf", x2, lp["w_up"])  # (B, E, S, F)
+    out = jnp.einsum("besf,efd->besd", h, lp["w_down"])  # (B, E, S, D)
+    return jnp.einsum("besd,bes->bsd", out, jnp.moveaxis(gates, -1, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -260,8 +295,7 @@ def forward_capture(
         h = h + attn_out
 
         x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
-        mlp = (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp["w_down"]
-        h = h + mlp
+        h = h + _mlp(x2, lp, cfg)
 
         img_probs = jax.lax.dynamic_slice_in_dim(probs, img_start, n_img, axis=3)
         # (B, H, S, n_img)

@@ -154,3 +154,36 @@ def test_padding_mask_isolation(tiny_llama):
         np.asarray(full["attn"]),
         atol=1e-5,
     )
+
+
+def test_mixtral_moe_parity():
+    """MoE decoder vs HF MixtralForCausalLM (eager)."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(3)
+    hf_cfg = MixtralConfig(
+        vocab_size=96, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        rms_norm_eps=1e-6, rope_theta=10000.0,
+        attn_implementation="eager",
+    )
+    m = MixtralForCausalLM(hf_cfg).eval()
+    cfg = DecoderConfig(
+        vocab_size=96, hidden_size=48, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=12, intermediate_size=64,
+        num_experts=4, num_experts_per_tok=2, dtype=jnp.float32,
+    )
+    params = llama_decoder_params(m.state_dict(), cfg)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 96, (1, 10))
+    with torch.no_grad():
+        hf = m(input_ids=torch.from_numpy(ids),
+               attention_mask=torch.ones((1, 10), dtype=torch.long),
+               output_attentions=True)
+    from flmm_tpu.models.llm.decoder import embed_tokens
+    embeds = embed_tokens(params, cfg, jnp.asarray(ids, jnp.int32))
+    out = forward_capture(params, cfg, embeds, jnp.ones((1, 10), bool),
+                          img_start=2, n_img=4)
+    got = np.asarray(decoder_logits(params, cfg, out["last_hidden"]))
+    np.testing.assert_allclose(got, hf.logits.numpy(), atol=5e-4)
