@@ -224,3 +224,33 @@ def test_collate_and_model_consume(png_fixture):
           for k, v in batch.items() if k != "infos"}
     loss, metrics = model.loss_fn(params, cfg, mb)
     assert np.isfinite(float(loss))
+
+
+def test_video_frame_sampling(tmp_path):
+    from flmm_tpu.data.video import (
+        load_frames_from_dir, process_video, sample_indices,
+    )
+    from flmm_tpu.data.processors import ProcessorConfig, square_pad_preprocess
+
+    assert sample_indices(100, 4) == [0, 33, 66, 99]
+    assert sample_indices(3, 8) == [0, 1, 2]
+    for i in range(6):
+        Image.new("RGB", (20, 16), (i * 40, 0, 0)).save(
+            tmp_path / f"f{i:03d}.png")
+    frames = load_frames_from_dir(str(tmp_path), n_frames=3)
+    assert len(frames) == 3
+    out = process_video(
+        frames, lambda im: square_pad_preprocess(im, ProcessorConfig(size=32)),
+        n_frames=2)
+    assert out["pixel_values"].shape == (2, 32, 32, 3)
+
+
+def test_io_open_any_local(tmp_path):
+    from flmm_tpu.data.io import exists, open_any, read_bytes
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"hello")
+    assert read_bytes(str(p)) == b"hello"
+    assert exists(str(p)) and not exists(str(tmp_path / "nope"))
+    with open_any(f"file://{p}") as f:
+        assert f.read() == b"hello"
