@@ -14,6 +14,8 @@ import pathlib
 from typing import Any, Mapping
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from flmm_tpu.convert import hf_weights, sam_weights
 
@@ -161,6 +163,103 @@ def hpt_frozen(checkpoint_dir: str, cfg, sam_checkpoint: str | None = None):
         frozen["sam_encoder"] = sam_weights.encoder_params(
             load_state_dict(sam_checkpoint), cfg.sam.encoder
         )
+    return frozen
+
+
+def convnext_params(sd: Mapping[str, Any], cfg, prefix: str = "visual.trunk.",
+                    dtype=None) -> dict:
+    """Convert an open_clip/timm ConvNeXt trunk (MGM aux tower,
+    reference mgm/model/multimodal_encoder/openclip_encoder.py:29,48-54).
+
+    Key layout: ``stem.0`` conv / ``stem.1`` LN;
+    ``stages.{s}.blocks.{b}.{conv_dw,norm,mlp.fc1,mlp.fc2,gamma}``;
+    ``stages.{s}.downsample.{0=LN,1=conv}`` for s > 0.
+    """
+    import numpy as np
+
+    def get(name):
+        return _np(sd[prefix + name])
+
+    def conv(name):  # torch (O, I, kh, kw) -> HWIO
+        return get(name).transpose(2, 3, 1, 0)
+
+    stages = []
+    for s_i, depth in enumerate(cfg.depths):
+        stage = {"blocks": []}
+        if s_i > 0:
+            stage["down_ln_w"] = get(f"stages.{s_i}.downsample.0.weight")
+            stage["down_ln_b"] = get(f"stages.{s_i}.downsample.0.bias")
+            stage["down_k"] = conv(f"stages.{s_i}.downsample.1.weight")
+            stage["down_b"] = get(f"stages.{s_i}.downsample.1.bias")
+        for b_i in range(depth):
+            base = f"stages.{s_i}.blocks.{b_i}."
+            dw = get(base + "conv_dw.weight")  # (C, 1, 7, 7)
+            stage["blocks"].append({
+                "dw_k": dw.transpose(2, 3, 1, 0),
+                "dw_b": get(base + "conv_dw.bias"),
+                "ln_w": get(base + "norm.weight"),
+                "ln_b": get(base + "norm.bias"),
+                "w1": get(base + "mlp.fc1.weight").T,
+                "b1": get(base + "mlp.fc1.bias"),
+                "w2": get(base + "mlp.fc2.weight").T,
+                "b2": get(base + "mlp.fc2.bias"),
+                "gamma": get(base + "gamma"),
+            })
+        stages.append(stage)
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, dtype or cfg.dtype),
+        {
+            "stem_k": conv("stem.0.weight"),
+            "stem_b": get("stem.0.bias"),
+            "stem_ln_w": get("stem.1.weight"),
+            "stem_ln_b": get("stem.1.bias"),
+            "stages": stages,
+        },
+    )
+
+
+def _ln_lin_params(sd, base, dtype=jnp.float32):
+    """nn.Sequential(LayerNorm, Linear) -> our ln_lin dict (MGM uni
+    projectors, reference mgm_arch.py:149-154)."""
+    return {
+        "ln_w": jnp.asarray(_np(sd[base + ".0.weight"]), dtype),
+        "ln_b": jnp.asarray(_np(sd[base + ".0.bias"]), dtype),
+        "w": jnp.asarray(_np(sd[base + ".1.weight"]).T, dtype),
+        "b": jnp.asarray(_np(sd[base + ".1.bias"]), dtype),
+    }
+
+
+def mgm_frozen(
+    checkpoint_dir: str,
+    cfg,
+    clip_checkpoint: str,
+    aux_checkpoint: str,
+    sam_checkpoint: str | None = None,
+) -> dict:
+    """MGM checkpoint assembly.
+
+    The LLM + mm_projector + uni projectors live in the main checkpoint
+    (keys under ``model.``); the CLIP tower and the open_clip ConvNeXt aux
+    tower load from their own checkpoints, exactly as the reference does
+    at init (mgm/model/mgm_arch.py:41-49, openclip_encoder.py:29).
+    """
+    sd = load_state_dict(checkpoint_dir)
+    base = cfg.base
+    llm_sd = llm_with_head(sd, "model.")
+    frozen = {
+        "llm": hf_weights.llama_decoder_params(llm_sd, base.llm, prefix=""),
+        "vision": hf_weights.clip_vit_params(
+            load_state_dict(clip_checkpoint), base.vision),
+        "aux_tower": convnext_params(load_state_dict(aux_checkpoint), cfg.aux),
+        "projector": _seq_linear_layers(
+            strip_prefix(sd, "model.mm_projector.")),
+        "uni_query": _ln_lin_params(sd, "model.vlm_uni_query_projector"),
+        "uni_aux": _ln_lin_params(sd, "model.vlm_uni_aux_projector"),
+        "uni_val": _ln_lin_params(sd, "model.vlm_uni_val_projector"),
+    }
+    if sam_checkpoint:
+        frozen["sam_encoder"] = sam_weights.encoder_params(
+            load_state_dict(sam_checkpoint), base.sam.encoder)
     return frozen
 
 
