@@ -210,6 +210,58 @@ def siglip_vit_params(
     }
 
 
+def eva_vit_params(
+    sd: Mapping[str, Any], cfg: ViTConfig, dtype: Any = None
+) -> dict:
+    """Convert the EVA-G trunk MGM's alternative tower uses (reference
+    mgm/model/multimodal_encoder/eva_encoder.py): fused qkv with separate
+    q_bias/v_bias and an implicit zero k bias; class token; abs pos embeds;
+    final LayerNorm."""
+    dtype = dtype or cfg.dtype
+    L = cfg.num_layers
+
+    def get(name):
+        return _np(sd[name])
+
+    def stack(fmt, transpose=True):
+        ws = [get(fmt.format(i=i)) for i in range(L)]
+        return jnp.asarray(np.stack([w.T if transpose else w for w in ws]), dtype)
+
+    d3 = get("blocks.0.attn.qkv.weight").shape[0]
+    d = d3 // 3
+    bqkv = []
+    for i in range(L):
+        qb = get(f"blocks.{i}.attn.q_bias")
+        vb = get(f"blocks.{i}.attn.v_bias")
+        bqkv.append(np.concatenate([qb, np.zeros_like(qb), vb]))
+    pos = get("pos_embed")
+    if pos.ndim == 3:
+        pos = pos[0]
+    return {
+        "patch_kernel": jnp.asarray(
+            get("patch_embed.proj.weight").transpose(2, 3, 1, 0), dtype),
+        "patch_bias": jnp.asarray(get("patch_embed.proj.bias"), dtype),
+        "cls_token": jnp.asarray(get("cls_token").reshape(-1), dtype),
+        "pos_embed": jnp.asarray(pos, dtype),
+        "layers": {
+            "ln1_w": stack("blocks.{i}.norm1.weight", False),
+            "ln1_b": stack("blocks.{i}.norm1.bias", False),
+            "ln2_w": stack("blocks.{i}.norm2.weight", False),
+            "ln2_b": stack("blocks.{i}.norm2.bias", False),
+            "wqkv": stack("blocks.{i}.attn.qkv.weight"),
+            "bqkv": jnp.asarray(np.stack(bqkv), dtype),
+            "wo": stack("blocks.{i}.attn.proj.weight"),
+            "bo": stack("blocks.{i}.attn.proj.bias", False),
+            "w1": stack("blocks.{i}.mlp.fc1.weight"),
+            "b1": stack("blocks.{i}.mlp.fc1.bias", False),
+            "w2": stack("blocks.{i}.mlp.fc2.weight"),
+            "b2": stack("blocks.{i}.mlp.fc2.bias", False),
+        },
+        "final_ln_w": jnp.asarray(get("norm.weight"), dtype),
+        "final_ln_b": jnp.asarray(get("norm.bias"), dtype),
+    }
+
+
 def timm_siglip_vit_params(
     sd: Mapping[str, Any], cfg: ViTConfig, dtype: Any = None
 ) -> dict:

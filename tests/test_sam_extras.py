@@ -71,3 +71,32 @@ def test_amg_generate_smoke():
     assert isinstance(out, list)
     for rec in out:
         assert set(rec) >= {"segmentation", "bbox", "predicted_iou", "area"}
+
+
+def test_export_roundtrip(tmp_path):
+    from flmm_tpu.convert.export import export_fn, load_fn, export_sam_decoder
+
+    def f(x, y):
+        return x @ y + 1.0
+
+    ex = (np.ones((4, 8), np.float32), np.ones((8, 4), np.float32))
+    export_fn(f, ex, tmp_path / "f.shlo")
+    g = load_fn(tmp_path / "f.shlo")
+    np.testing.assert_allclose(np.asarray(g(*ex)), f(*ex))
+
+    params, cfg = _tiny_sam_params()
+    export_sam_decoder({"prompt": params["prompt"],
+                        "decoder": params["decoder"]}, cfg,
+                       tmp_path / "sam_dec.shlo", max_text=4)
+    dec = load_fn(tmp_path / "sam_dec.shlo")
+    import jax.numpy as jnp
+    s = cfg.prompt.image_embedding_size
+    d = cfg.prompt.embed_dim
+    masks, iou = dec(
+        {"prompt": params["prompt"], "decoder": params["decoder"]},
+        jnp.zeros((s, s, d), jnp.float32),
+        jnp.zeros((1, 4), jnp.float32),
+        jnp.zeros((1, cfg.prompt_size, cfg.prompt_size), jnp.float32),
+        jnp.zeros((1, 4, d), jnp.float32),
+        jnp.zeros((1, 4), bool))
+    assert np.isfinite(np.asarray(masks)).all()
