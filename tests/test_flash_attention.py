@@ -60,3 +60,35 @@ def test_flash_capture_probs_sum():
     # query rows after the image block see all image keys
     sums = arr[0, :, 200:].sum(-1)
     assert (sums <= 1.0 + 1e-5).all()
+
+
+def test_flash_merged_capture_matches_reference():
+    from flmm_tpu.ops.flash_attention import flash_attention_with_merged_capture
+    from flmm_tpu.ops.masks import mean_merge_matrix
+
+    rng = np.random.default_rng(2)
+    B, H, S, hd = 2, 2, 384, 32
+    img_start, n_img = 128, 100
+    M = 3
+    q = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((B, H, S, hd)).astype(np.float32) * 0.3)
+    lengths = jnp.asarray([384, 320], jnp.int32)
+    mask_ids = np.full((B, S), -1, np.int32)
+    mask_ids[0, 300:310] = 0
+    mask_ids[0, 312:330] = 1
+    mask_ids[1, 290:300] = 2
+    mm = jnp.stack([mean_merge_matrix(jnp.asarray(mask_ids[b]), M)
+                    for b in range(B)])
+
+    out, merged = flash_attention_with_merged_capture(
+        q, k, v, lengths, mm, img_start, n_img, interpret=True)
+    want_out, want_img = reference_attention(q, k, v, lengths, img_start, n_img)
+    want_merged = jnp.einsum("bhsn,bsm->bhmn", want_img, mm)
+    # bf16 contraction in-kernel: tolerate bf16-level error
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(want_merged),
+                               atol=2e-3)
+    for b, L in enumerate([384, 320]):
+        np.testing.assert_allclose(
+            np.asarray(out)[b, :, :L], np.asarray(want_out)[b, :, :L],
+            atol=2e-5)
