@@ -20,8 +20,9 @@ from typing import Callable
 import numpy as np
 from PIL import Image
 
+from flmm_tpu.data import io as remote_io
 from flmm_tpu.data import tokenization as tok
-from flmm_tpu.data.panoptic import load_segment_map, segment_union_mask
+from flmm_tpu.data.panoptic import rgb2id, segment_union_mask
 
 
 class PNGDataset:
@@ -34,7 +35,7 @@ class PNGDataset:
         tokenizer,
         prompt_spec: tok.PromptSpec,
         image_token_id: int,
-        open_fn: Callable = open,
+        open_fn: Callable = remote_io.open_any,
     ):
         with open_fn(json_file, "r") as f:
             self.data = json.load(f)
@@ -84,15 +85,16 @@ class PNGDataset:
             # reference png.py:143-144: resample another index
             return self.__getitem__(random.randrange(len(self)))
 
-        segm_map = load_segment_map(
-            f"{self.panoptic_png_path}/{ann['file_name']}"
-        )
+        segm_png = remote_io.open_image(
+            f"{self.panoptic_png_path}/{ann['file_name']}").convert("RGB")
+        segm_map = rgb2id(np.asarray(segm_png))
         masks = np.stack(
             [segment_union_mask(segm_map, sids) for sids in mask_segment_ids]
         )
 
         img_info = self.images[image_id]
-        image = Image.open(f"{self.image_path}/{img_info['file_name']}")
+        image = remote_io.open_image(
+            f"{self.image_path}/{img_info['file_name']}")
 
         input_ids = np.asarray(self.prompt_ids + stream["caption_ids"], np.int32)
         return {

@@ -20,6 +20,7 @@ from typing import Callable
 import numpy as np
 from PIL import Image, ImageDraw
 
+from flmm_tpu.data import io as remote_io
 from flmm_tpu.data import tokenization as tok
 
 
@@ -47,7 +48,7 @@ class RefCocoDataset:
         split_file: str,
         image_path: str,
         split: str = "train",
-        open_fn: Callable = open,
+        open_fn: Callable = remote_io.open_any,
     ):
         with open_fn(split_file, "rb") as f:
             refs = pickle.load(f)
@@ -85,7 +86,8 @@ class RefCocoDataset:
             for sent in ref["sentences"]:
                 expressions.append(sent["sent"])
                 masks.append(mask)
-        image = Image.open(f"{self.image_path}/{img_info['file_name']}")
+        image = remote_io.open_image(
+            f"{self.image_path}/{img_info['file_name']}")
         return {
             "image": image,
             "expressions": expressions,

@@ -45,6 +45,10 @@ def main():
     p.add_argument("--preset", default="1_3b")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--clip-checkpoint", default=None,
+                   help="CLIP tower checkpoint (mgm)")
+    p.add_argument("--aux-checkpoint", default=None,
+                   help="open_clip ConvNeXt checkpoint (mgm)")
     p.add_argument("--trained", default=None,
                    help="Orbax checkpoint of trainable params")
     p.add_argument("--tokenizer", required=True)
@@ -82,6 +86,8 @@ def main():
         "llava_next": lambda c, g, s=None: load_mod.llava_frozen(
             c, g, s, next_variant=True),
         "hpt": load_mod.hpt_frozen,
+        "mgm": lambda c, g, s=None: load_mod.mgm_frozen(
+            c, g, args.clip_checkpoint, args.aux_checkpoint, s),
     }
     frozen = loaders[args.family](args.checkpoint, cfg, args.sam_checkpoint)
     params["frozen"].update(jax.tree.map(jnp.asarray, frozen))

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--checkpoint", default=None,
                    help="frozen LMM checkpoint dir")
     p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--clip-checkpoint", default=None,
+                   help="CLIP tower checkpoint (mgm)")
+    p.add_argument("--aux-checkpoint", default=None,
+                   help="open_clip ConvNeXt checkpoint (mgm)")
     p.add_argument("--tokenizer", default=None,
                    help="HF tokenizer name/path")
     p.add_argument("--data-root", default="data/coco")
