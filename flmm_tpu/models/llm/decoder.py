@@ -59,6 +59,11 @@ class DecoderConfig:
     # optimisation left to a later pass).
     num_experts: int = 0
     num_experts_per_tok: int = 2
+    # Route attention through the Pallas fused-capture flash kernel
+    # (ops/flash_attention.py).  Requires S % 128 == 0 and a 128-aligned
+    # image block (data-side alignment padding) and mean merge; otherwise
+    # the XLA path is used automatically.
+    use_flash_capture: bool = False
     dtype: Any = jnp.bfloat16
 
     @property
@@ -260,6 +265,11 @@ def forward_capture(
     scan_weights = layer_weights.at[L - 1].set(0.0)
 
     scale = 1.0 / jnp.sqrt(float(hd))
+    flash_ok = (
+        cfg.use_flash_capture and merge_matrix is not None
+        and merge == "mean" and S % 128 == 0 and img_start % 128 == 0
+        and img_start + ((n_img + 127) // 128) * 128 <= S
+    )
 
     def layer(carry, xs):
         h, acc = carry
@@ -281,42 +291,60 @@ def forward_capture(
             rep = H // KV
             k = jnp.repeat(k, rep, axis=2)
             v = jnp.repeat(v, rep, axis=2)
-        logits = (
-            jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-            * scale
-            + bias
-        )
-        probs = jax.nn.softmax(logits, axis=-1)  # f32
-        out = jnp.einsum(
-            "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(cfg.dtype)
+        if flash_ok:
+            from flmm_tpu.ops.flash_attention import (
+                flash_attention_with_merged_capture,
+            )
+
+            out4, side = flash_attention_with_merged_capture(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), valid, merge_matrix,
+                img_start, n_img,
+            )
+            out = out4.transpose(0, 2, 1, 3).astype(cfg.dtype)
+        else:
+            logits = (
+                jnp.einsum("bshd,bthd->bhst", q, k,
+                           preferred_element_type=jnp.float32)
+                * scale
+                + bias
+            )
+            probs = jax.nn.softmax(logits, axis=-1)  # f32
+            out = jnp.einsum(
+                "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(cfg.dtype)
         attn_out = out.reshape(B, S, H * hd) @ lp["wo"]
         h = h + attn_out
 
         x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
         h = h + _mlp(x2, lp, cfg)
 
-        img_probs = jax.lax.dynamic_slice_in_dim(probs, img_start, n_img, axis=3)
-        # (B, H, S, n_img)
-        if merge_matrix is None:
-            side = img_probs
-        elif merge == "mean":
-            side = jnp.einsum(
-                "bhsn,bsm->bhmn", img_probs, merge_matrix,
-                preferred_element_type=jnp.float32,
-            )
-        elif merge == "max":
-            member = merge_matrix > 0  # (B, S, M)
-            masked = jnp.where(
-                member[:, None, :, :, None],
-                img_probs[:, :, :, None, :],
-                jnp.finfo(jnp.float32).min,
-            )
-            side = masked.max(axis=2)  # (B, H, M, n_img)
-            side = jnp.where(side <= jnp.finfo(jnp.float32).min / 2, 0.0, side)
+        if flash_ok:
+            pass  # side already computed by the kernel
         else:
-            raise ValueError(merge)
+            img_probs = jax.lax.dynamic_slice_in_dim(
+                probs, img_start, n_img, axis=3)
+            # (B, H, S, n_img)
+            if merge_matrix is None:
+                side = img_probs
+            elif merge == "mean":
+                side = jnp.einsum(
+                    "bhsn,bsm->bhmn", img_probs, merge_matrix,
+                    preferred_element_type=jnp.float32,
+                )
+            elif merge == "max":
+                member = merge_matrix > 0  # (B, S, M)
+                masked = jnp.where(
+                    member[:, None, :, :, None],
+                    img_probs[:, :, :, None, :],
+                    jnp.finfo(jnp.float32).min,
+                )
+                side = masked.max(axis=2)  # (B, H, M, n_img)
+                side = jnp.where(
+                    side <= jnp.finfo(jnp.float32).min / 2, 0.0, side)
+            else:
+                raise ValueError(merge)
 
         acc = acc + w_l * jax.lax.stop_gradient(h).astype(jnp.float32)
         return (h, acc), side

@@ -106,7 +106,7 @@ def _kernel(
 
 
 def _merged_kernel(
-    len_ref, q_ref, k_ref, v_ref, mm_ref, o_ref, img_ref,
+    len_ref, q_ref, k_ref, v_ref, valid_ref, mm_ref, o_ref, img_ref,
     acc_ref, m_ref, l_ref, img_acc_ref,
     *, scale: float, img_start: int, n_img_pad: int, seq_len: int,
 ):
@@ -124,7 +124,6 @@ def _merged_kernel(
     def _():
         img_ref[...] = jnp.zeros_like(img_ref)
 
-    valid_len = len_ref[pl.program_id(0)]
     acc_ref[...] = jnp.zeros_like(acc_ref)
     m_ref[...] = jnp.full_like(m_ref, NEG_INF)
     l_ref[...] = jnp.zeros_like(l_ref)
@@ -144,7 +143,8 @@ def _merged_kernel(
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
             k_pos = kj * BLOCK + jax.lax.broadcasted_iota(
                 jnp.int32, (BLOCK, BLOCK), 1)
-            mask = (k_pos <= q_pos) & (k_pos < valid_len)
+            k_ok = valid_ref[0, pl.ds(kj * BLOCK, BLOCK)] > 0  # (BLOCK,)
+            mask = (k_pos <= q_pos) & k_ok[None, :]
             s = jnp.where(mask, s, NEG_INF)
             m_prev = m_ref[...]
             m_new = jnp.maximum(m_prev, s.max(axis=1, keepdims=True))
@@ -180,7 +180,7 @@ def flash_attention_with_merged_capture(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    lengths: jnp.ndarray,
+    key_valid: jnp.ndarray,
     merge_matrix: jnp.ndarray,
     img_start: int,
     n_img: int,
@@ -189,6 +189,8 @@ def flash_attention_with_merged_capture(
     """Causal flash attention emitting per-mask merged attention images.
 
     Args:
+      key_valid: ``(B, S)`` bool key validity (supports mid-sequence holes,
+        e.g. anyres image-pad slots).
       merge_matrix: ``(B, S, M)`` mean-merge matrix (rows pre-normalised).
 
     Returns ``(out (B, H, S, hd), merged (B, H, M, n_img) f32)``.
@@ -204,13 +206,15 @@ def flash_attention_with_merged_capture(
     qf = q.reshape(B * H, S, hd)
     kf = k.reshape(B * H, S, hd)
     vf = v.reshape(B * H, S, hd)
-    lens = jnp.repeat(lengths.astype(jnp.int32), H)
+    lens = jnp.zeros((B * H,), jnp.int32)  # unused scalar prefetch slot
+    valid = key_valid.astype(jnp.int32)
     mm = jnp.pad(merge_matrix.astype(jnp.float32),
                  ((0, 0), (0, 0), (0, m_pad - M)))
 
-    def kern(len_all, q_r, k_r, v_r, mm_r, o_r, img_r, acc, m, l, img_acc):
+    def kern(len_all, q_r, k_r, v_r, valid_r, mm_r, o_r, img_r,
+             acc, m, l, img_acc):
         _merged_kernel(
-            len_all, q_r.at[0], k_r.at[0], v_r.at[0], mm_r.at[0],
+            len_all, q_r.at[0], k_r.at[0], v_r.at[0], valid_r, mm_r.at[0],
             o_r.at[0], img_r.at[0], acc, m, l, img_acc,
             scale=scale, img_start=img_start, n_img_pad=n_img_pad,
             seq_len=S,
@@ -223,6 +227,7 @@ def flash_attention_with_merged_capture(
             pl.BlockSpec((1, BLOCK, hd), lambda b, i, lens: (b, i, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i, lens: (b, 0, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i, lens: (b, 0, 0)),
+            pl.BlockSpec((1, S), lambda b, i, lens: (b // H, 0)),
             pl.BlockSpec((1, BLOCK, m_pad),
                          lambda b, i, lens: (b // H, i, 0)),
         ],
@@ -245,7 +250,7 @@ def flash_attention_with_merged_capture(
             jax.ShapeDtypeStruct((B * H, m_pad, n_img_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(lens, qf, kf, vf, mm)
+    )(lens, qf, kf, vf, valid, mm)
     return (
         out.reshape(B, H, S, hd),
         img.reshape(B, H, m_pad, n_img_pad)[:, :, :M, :n_img],

@@ -79,34 +79,33 @@ def _kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref,
 
 
 def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
-                   scale: float, side: int, valid: int):
-    """One window per grid step: one-shot softmax over <=256 tokens with
-    the decomposed rel-pos bias expanded by one-hot selection matmuls."""
-    q = q_ref[...]
-    k = k_ref[...]
-    v = v_ref[...]
-    bh = bh_ref[...]
-    bw = bw_ref[...]
-    tp = q.shape[0]
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-
+                   scale: float, side: int, valid: int, group: int):
+    """A group of windows per grid step (statically unrolled) to amortise
+    grid overhead: one-shot softmax over <=256 tokens per window with the
+    decomposed rel-pos bias expanded by one-hot selection matmuls."""
+    tp = q_ref.shape[1]
     row_of = jax.lax.broadcasted_iota(jnp.int32, (side, tp), 0)
     j_of = jax.lax.broadcasted_iota(jnp.int32, (side, tp), 1)
     in_win = j_of < valid
-    sel_h = ((row_of == j_of // side) & in_win).astype(q.dtype)
-    sel_w = ((row_of == j_of % side) & in_win).astype(q.dtype)
-    s = s + jnp.dot(bh, sel_h, preferred_element_type=jnp.float32)
-    s = s + jnp.dot(bw, sel_w, preferred_element_type=jnp.float32)
-
+    sel_h = ((row_of == j_of // side) & in_win).astype(q_ref.dtype)
+    sel_w = ((row_of == j_of % side) & in_win).astype(q_ref.dtype)
     col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
-    s = jnp.where(col_ok, s, -1e30)
-    m = s.max(axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = p.sum(axis=1, keepdims=True)
-    o_ref[...] = (
-        jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-        / jnp.maximum(l, 1e-30)
-    ).astype(o_ref.dtype)
+
+    for w in range(group):
+        q = q_ref[w]
+        k = k_ref[w]
+        v = v_ref[w]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + jnp.dot(bh_ref[w], sel_h, preferred_element_type=jnp.float32)
+        s = s + jnp.dot(bw_ref[w], sel_w, preferred_element_type=jnp.float32)
+        s = jnp.where(col_ok, s, -1e30)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o_ref[w] = (
+            jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
 
 
 def sam_window_attention(
@@ -142,24 +141,21 @@ def sam_window_attention(
     bh = pad(bias_h).astype(jnp.bfloat16)
     bw = pad(bias_w).astype(jnp.bfloat16)
 
+    group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
     kernel = functools.partial(_window_kernel, scale=scale, side=side,
-                               valid=T)
-
-    def squeezed(q_r, k_r, v_r, bh_r, bw_r, o_r):
-        kernel(q_r.at[0], k_r.at[0], v_r.at[0], bh_r.at[0], bw_r.at[0],
-               o_r.at[0])
+                               valid=T, group=group)
 
     out = pl.pallas_call(
-        squeezed,
-        grid=(G,),
+        kernel,
+        grid=(G // group,),
         in_specs=[
-            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, tp, side), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, tp, side), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, side), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, side), lambda g: (g, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, tp, hd), lambda g: (g, 0, 0)),
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
         interpret=interpret,
     )(qp, kp, vp, bh, bw)

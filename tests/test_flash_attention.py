@@ -81,8 +81,9 @@ def test_flash_merged_capture_matches_reference():
     mm = jnp.stack([mean_merge_matrix(jnp.asarray(mask_ids[b]), M)
                     for b in range(B)])
 
+    key_valid = jnp.arange(S)[None, :] < lengths[:, None]
     out, merged = flash_attention_with_merged_capture(
-        q, k, v, lengths, mm, img_start, n_img, interpret=True)
+        q, k, v, key_valid, mm, img_start, n_img, interpret=True)
     want_out, want_img = reference_attention(q, k, v, lengths, img_start, n_img)
     want_merged = jnp.einsum("bhsn,bsm->bhmn", want_img, mm)
     # bf16 contraction in-kernel: tolerate bf16-level error
@@ -92,3 +93,48 @@ def test_flash_merged_capture_matches_reference():
         np.testing.assert_allclose(
             np.asarray(out)[b, :, :L], np.asarray(want_out)[b, :, :L],
             atol=2e-5)
+
+
+def test_forward_capture_flash_path_matches_xla():
+    """DecoderConfig.use_flash_capture must match the XLA merged path
+    (interpret mode on CPU)."""
+    import dataclasses
+    import jax
+    from unittest import mock
+    from flmm_tpu.models.llm import decoder as llm
+    from flmm_tpu.ops import flash_attention as fa
+    from flmm_tpu.ops.masks import mean_merge_matrix
+
+    cfg = llm.DecoderConfig(
+        vocab_size=64, hidden_size=64, num_layers=2, num_heads=2,
+        num_kv_heads=1, head_dim=32, intermediate_size=64,
+        dtype=jnp.float32)
+    params = llm.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, S = 1, 256
+    img_start, n_img = 128, 64
+    embeds = jnp.asarray(
+        rng.standard_normal((B, S, 64)).astype(np.float32) * 0.1)
+    mask = np.ones((B, S), bool)
+    mask[:, 240:] = False
+    mask_ids = np.full((B, S), -1, np.int32)
+    mask_ids[0, 200:210] = 0
+    mm = mean_merge_matrix(jnp.asarray(mask_ids[0]), 2)[None]
+
+    base = llm.forward_capture(
+        params, cfg, embeds, jnp.asarray(mask), img_start, n_img,
+        merge_matrix=mm, merge="mean")
+
+    cfg_f = dataclasses.replace(cfg, use_flash_capture=True)
+    orig = fa.flash_attention_with_merged_capture
+    with mock.patch.object(
+            fa, "flash_attention_with_merged_capture",
+            lambda *a, **k: orig(*a, **k, interpret=True)):
+        flash = llm.forward_capture(
+            params, cfg_f, embeds, jnp.asarray(mask), img_start, n_img,
+            merge_matrix=mm, merge="mean")
+    np.testing.assert_allclose(
+        np.asarray(flash["attn"]), np.asarray(base["attn"]), atol=3e-3)
+    np.testing.assert_allclose(
+        np.asarray(flash["last_hidden"])[:, :240],
+        np.asarray(base["last_hidden"])[:, :240], atol=2e-4)
