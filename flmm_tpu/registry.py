@@ -91,18 +91,28 @@ def get_config(family: str, preset: str, **kwargs):
     return _import(FAMILIES[family].presets[preset])(**kwargs)
 
 
-def get_batch_builder(family: str) -> Callable:
+def get_batch_builder(family: str, **spec_kwargs) -> Callable:
+    """Return a ``(samples, batch_spec) -> batch`` callable.
+
+    Family-specific processing specs (anyres pinpoints, MGM grid) bind
+    here with defaults matching the released configs; override via
+    ``spec_kwargs``.
+    """
+    import functools
+
     kind = FAMILIES[family].batch_builder
     if kind == "standard":
         from flmm_tpu.data.collate import build_batch
 
         return build_batch
     if kind == "anyres":
-        from flmm_tpu.data.llava_next import build_anyres_batch
+        from flmm_tpu.data.llava_next import AnyresSpec, build_anyres_batch
 
-        return build_anyres_batch
+        anyres = AnyresSpec(**spec_kwargs)
+        return lambda samples, spec: build_anyres_batch(samples, spec, anyres)
     if kind == "mgm":
-        from flmm_tpu.data.mgm import build_mgm_batch
+        from flmm_tpu.data.mgm import MGMProcessSpec, build_mgm_batch
 
-        return build_mgm_batch
+        mgm = MGMProcessSpec(**spec_kwargs)
+        return lambda samples, spec: build_mgm_batch(samples, spec, mgm)
     raise KeyError(kind)

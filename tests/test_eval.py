@@ -109,3 +109,15 @@ def test_sharded_eval_matches_host_terms():
         assert abs(got[k] - want[k]) < 1e-2 + 1e-3 * abs(want[k]), (k, got, want)
     r = finalize(run(params, batch))
     assert 0 <= r["cIoU"] <= 100 and r["n"] > 0
+
+
+def test_registry_batch_builders_uniform_signature():
+    """Every family's builder must accept (samples, batch_spec)."""
+    from flmm_tpu.registry import FAMILIES, get_batch_builder
+
+    for fam in FAMILIES:
+        assert callable(get_batch_builder(fam))
+    # family-specific specs bind with overridable defaults
+    assert callable(get_batch_builder("llava_next", tile_size=32,
+                                      patch_size=8))
+    assert callable(get_batch_builder("mgm", crop_size=32, aux_size=64))
