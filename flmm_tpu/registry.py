@@ -20,6 +20,16 @@ class Family:
     presets: dict  # name -> config factory import path
 
 
+# prompt template per family (xtuner PROMPT_TEMPLATE choices the released
+# configs use; see data/tokenization.TEMPLATES)
+FAMILY_TEMPLATES = {
+    "deepseek_vl": "deepseek",
+    "llava": "vicuna",
+    "llava_next": "vicuna",  # mistral preset overrides to 'mistral'
+    "mgm": "gemma",  # vicuna presets override to 'vicuna'
+    "hpt": "internlm2_chat",
+}
+
 FAMILIES = {
     "deepseek_vl": Family(
         name="deepseek_vl",

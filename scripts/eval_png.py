@@ -36,6 +36,8 @@ def main():
                    help="open_clip ConvNeXt checkpoint (mgm)")
     p.add_argument("--trained", default=None)
     p.add_argument("--tokenizer", required=True)
+    p.add_argument("--template", default=None,
+                   help="prompt template override (see TEMPLATES)")
     p.add_argument("--data-root", default="data/coco")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=704)
@@ -80,8 +82,10 @@ def main():
         params["trainable"] = state["params"]
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    template = tok.TEMPLATES["deepseek" if args.family == "deepseek_vl"
-                             else "vicuna"]
+    from flmm_tpu.registry import FAMILY_TEMPLATES
+
+    template = tok.TEMPLATES[
+        getattr(args, "template", None) or FAMILY_TEMPLATES[args.family]]
     prompt = ("<image_placeholder>" * base.num_img_tokens
               + "Please give me a description of the image.")
     spec = tok.PromptSpec(template, prompt)

@@ -51,6 +51,8 @@ def parse_args():
                    help="open_clip ConvNeXt checkpoint (mgm)")
     p.add_argument("--tokenizer", default=None,
                    help="HF tokenizer name/path")
+    p.add_argument("--template", default=None,
+                   help="prompt template override (see TEMPLATES)")
     p.add_argument("--data-root", default="data/coco")
     p.add_argument("--work-dir", default="work_dirs/run")
     p.add_argument("--batch-size", type=int, default=8)
@@ -90,8 +92,10 @@ def real_stream(args, cfg, steps):
 
     base = cfg.base if hasattr(cfg, "base") else cfg
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    template = tok.TEMPLATES["deepseek" if args.family == "deepseek_vl"
-                             else "vicuna"]
+    from flmm_tpu.registry import FAMILY_TEMPLATES
+
+    template = tok.TEMPLATES[
+        getattr(args, "template", None) or FAMILY_TEMPLATES[args.family]]
     prompt = ("<image_placeholder>" * base.num_img_tokens
               + "Please give me a description of the image.")
     spec = tok.PromptSpec(template, prompt)
