@@ -182,21 +182,27 @@ def _flash_global_attention(
 def _flash_window_attention(
     x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
 ) -> jnp.ndarray:
-    """Windowed attention through the per-window Pallas kernel."""
+    """Windowed attention through the per-window Pallas kernel.
+
+    The qkv / output projections run on the dense (B*H*W, C) token layout
+    (full 128-row MXU tiles) *before/after* window partitioning -- the
+    projections are per-token, so partition order is free.
+    """
     from flmm_tpu.ops.sam_flash import sam_window_attention
 
     B, H, W, C = x.shape
     ws = cfg.window_size
     nh, hd = cfg.num_heads, cfg.head_dim
+    qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
+    qkv = qkv.reshape(B, H, W, 3 * C)
     pad_h = (ws - H % ws) % ws
     pad_w = (ws - W % ws) % ws
-    xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    qkvp = jnp.pad(qkv, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
     Hp, Wp = H + pad_h, W + pad_w
-    xw = xp.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
-    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
-    nw = xw.shape[0]
-    qkv = xw @ bp["wqkv"] + bp["bqkv"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    qkvw = qkvp.reshape(B, Hp // ws, ws, Wp // ws, ws, 3 * C)
+    qkvw = qkvw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
+    nw = qkvw.shape[0]
+    q, k, v = jnp.split(qkvw, 3, axis=-1)
 
     def heads(t):
         return t.reshape(nw, ws * ws, nh, hd).transpose(0, 2, 1, 3).reshape(
@@ -207,10 +213,11 @@ def _flash_window_attention(
     )
     out = out.reshape(nw, nh, ws * ws, hd).transpose(0, 2, 1, 3).reshape(
         nw, ws * ws, C)
-    out = out @ bp["wo"] + bp["bo"]
     out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
-    return out[:, :H, :W]
+    out = out[:, :H, :W]
+    return (out.reshape(B, H * W, C) @ bp["wo"] + bp["bo"]).reshape(
+        B, H, W, C)
 
 
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):

@@ -128,11 +128,13 @@ def sam_window_attention(
     scale = 1.0 / math.sqrt(hd)
 
     coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
-    rh = rel_pos_h[coords].astype(jnp.float32)
-    rw = rel_pos_w[coords].astype(jnp.float32)
-    qg = q.reshape(G, side, side, hd).astype(jnp.float32)
-    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh).reshape(G, T, side)
-    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw).reshape(G, T, side)
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, tp - T), (0, 0)))
@@ -185,12 +187,14 @@ def sam_global_attention(
 
     # static rel-pos gathers: (side, side, hd)
     coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
-    rh = rel_pos_h[coords].astype(jnp.float32)
-    rw = rel_pos_w[coords].astype(jnp.float32)
-    qg = q.reshape(G, side, side, hd).astype(jnp.float32)
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
     # thin bias projections: (G, S, side)
-    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh).reshape(G, S, side) * 1.0
-    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw).reshape(G, S, side)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
     # the bias is applied to *scaled* scores in the reference AFTER the
     # q*scale matmul (attn = q*scale @ k.T; attn += rel terms with raw q)
     bias_h = bias_h.astype(jnp.bfloat16)
