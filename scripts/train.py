@@ -201,6 +201,9 @@ def main():
     mesh = mesh_lib.make_mesh(n_data=n_data, n_model=args.n_model)
     loss_fn = lambda p, b: model.loss_fn(p, cfg, b)
 
+    if args.synthetic and args.family not in ("deepseek_vl", "llava", "hpt"):
+        raise SystemExit("--synthetic supports the standard-schema families "
+                         "(deepseek_vl/llava/hpt); anyres/mgm need real data")
     stream = (synthetic_stream(cfg, args.batch_size, steps)
               if args.synthetic else real_stream(args, cfg, steps))
     step_fn = None
