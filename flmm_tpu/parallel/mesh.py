@@ -55,6 +55,16 @@ _DECODER_RULES = {
     "lm_head": P(None, "model"),
 }
 
+# MoE decoders (Mixtral): experts shard over the model axis -- expert
+# parallelism; the dense-compute MoE contracts locally per expert shard and
+# XLA reduces the gated sum.
+_MOE_RULES = {
+    "w_gate": P(None, "model", None, None),
+    "w_up": P(None, "model", None, None),
+    "w_down": P(None, "model", None, None),
+    "router": P(None, None, None),
+}
+
 _SAM_ENC_RULES = {
     # per-block linears: (in, out)
     "wqkv": P(None, "model"),
@@ -71,7 +81,11 @@ def _spec_for(path: tuple, leaf: Any) -> P:
     in_decoder = "llm" in names
     in_sam_enc = "sam_encoder" in names
     key = names[-1] if names else ""
-    if in_decoder and key in _DECODER_RULES:
+    if in_decoder and key in _MOE_RULES and getattr(leaf, "ndim", 0) == len(
+            _MOE_RULES[key]):
+        return _MOE_RULES[key]
+    if in_decoder and key in _DECODER_RULES and getattr(
+            leaf, "ndim", 0) == len(_DECODER_RULES[key]):
         return _DECODER_RULES[key]
     if in_sam_enc and key in _SAM_ENC_RULES:
         spec = _SAM_ENC_RULES[key]
