@@ -126,3 +126,19 @@ def get_batch_builder(family: str, **spec_kwargs) -> Callable:
         mgm = MGMProcessSpec(**spec_kwargs)
         return lambda samples, spec: build_mgm_batch(samples, spec, mgm)
     raise KeyError(kind)
+
+
+def get_coarse_hw(cfg) -> tuple:
+    """Canonical coarse-mask frame for a family config.
+
+    LLaVA-Next uses its fixed square frame; MGM's U-Net input is the
+    (grid*clip_shape)^2 map; contiguous-block families derive it from the
+    U-Net's upsample rule over the attention grid.
+    """
+    from flmm_tpu.models.mask_head.unet import output_hw
+
+    if hasattr(cfg, "coarse_frame"):  # LlavaNextConfig
+        return tuple(cfg.coarse_frame)
+    if hasattr(cfg, "map_hw"):  # MGMConfig
+        return output_hw(cfg.base.unet, cfg.map_hw)
+    return output_hw(cfg.unet, (cfg.clip_shape, cfg.clip_shape))

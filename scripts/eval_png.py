@@ -103,7 +103,9 @@ def main():
     )
     n = min(len(ds), 100) if args.debug else len(ds)
 
-    hc, wc = output_hw(base.unet, (base.clip_shape, base.clip_shape))
+    from flmm_tpu.registry import get_coarse_hw
+
+    hc, wc = get_coarse_hw(cfg)
     bspec = BatchSpec(seq_len=args.seq_len, max_masks=args.max_masks,
                       coarse_hw=(hc, wc),
                       processor=ProcessorConfig(size=base.input_size))

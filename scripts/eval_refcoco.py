@@ -112,7 +112,9 @@ def main():
     image_token_id = tokenizer.encode(
         "<image_placeholder>", add_special_tokens=False)[-1]
 
-    hc, wc = output_hw(base.unet, (base.clip_shape, base.clip_shape))
+    from flmm_tpu.registry import get_coarse_hw
+
+    hc, wc = get_coarse_hw(cfg)
     bspec = BatchSpec(seq_len=args.seq_len, max_masks=args.max_masks,
                       coarse_hw=(hc, wc),
                       processor=ProcessorConfig(size=base.input_size))

@@ -124,7 +124,9 @@ def real_stream(args, cfg, steps):
                 split="train",
             ))
 
-    hc, wc = output_hw(base.unet, (base.clip_shape, base.clip_shape))
+    from flmm_tpu.registry import get_coarse_hw
+
+    hc, wc = get_coarse_hw(cfg)
     bspec = BatchSpec(
         seq_len=args.seq_len, max_masks=args.max_masks,
         coarse_hw=(hc, wc),

@@ -121,3 +121,21 @@ def test_registry_batch_builders_uniform_signature():
     assert callable(get_batch_builder("llava_next", tile_size=32,
                                       patch_size=8))
     assert callable(get_batch_builder("mgm", crop_size=32, aux_size=64))
+
+
+def test_get_coarse_hw_per_family():
+    from flmm_tpu.registry import get_coarse_hw
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.configs.llava_next import tiny_llava_next
+    from flmm_tpu.configs.mgm import tiny_mgm
+
+    assert get_coarse_hw(tiny()) == (16, 16)
+    assert get_coarse_hw(tiny_llava_next()) == (16, 16)
+    assert get_coarse_hw(tiny_mgm(hd=True)) == (16, 16)
+    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
+    from flmm_tpu.configs.llava_next import llava_next_vicuna_7b
+    from flmm_tpu.configs.mgm import mgm_vicuna_7b_hd
+
+    assert get_coarse_hw(deepseek_vl_1_3b()) == (64, 64)
+    assert get_coarse_hw(llava_next_vicuna_7b()) == (64, 64)
+    assert get_coarse_hw(mgm_vicuna_7b_hd()) == (64, 64)
