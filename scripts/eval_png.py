@@ -54,7 +54,6 @@ def main():
     from flmm_tpu.data.processors import ProcessorConfig
     from flmm_tpu.evalsuite.metrics import PNGAccumulator
     from flmm_tpu.evalsuite.runner import png_score, run_eval
-    from flmm_tpu.models.mask_head.unet import output_hw
     from flmm_tpu.registry import get_batch_builder, get_config, get_model
     from flmm_tpu.train import checkpoint as ckpt
 

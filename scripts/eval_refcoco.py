@@ -73,7 +73,6 @@ def main():
     from flmm_tpu.data.refcoco import RefCocoDataset, refcoco_to_sample
     from flmm_tpu.evalsuite.metrics import RefSegAccumulator
     from flmm_tpu.evalsuite.runner import refcoco_score, run_eval
-    from flmm_tpu.models.mask_head.unet import output_hw
     from flmm_tpu.registry import get_batch_builder, get_config, get_model
     from flmm_tpu.train import checkpoint as ckpt
 

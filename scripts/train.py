@@ -87,7 +87,6 @@ def real_stream(args, cfg, steps):
     from flmm_tpu.data.png import PNGDataset
     from flmm_tpu.data.processors import ProcessorConfig
     from flmm_tpu.data.refcoco import RefCocoDataset, refcoco_to_sample
-    from flmm_tpu.models.mask_head.unet import output_hw
     from flmm_tpu.registry import get_batch_builder
 
     base = cfg.base if hasattr(cfg, "base") else cfg
