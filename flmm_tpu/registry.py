@@ -142,3 +142,22 @@ def get_coarse_hw(cfg) -> tuple:
     if hasattr(cfg, "map_hw"):  # MGMConfig
         return output_hw(cfg.base.unet, cfg.map_hw)
     return output_hw(cfg.unet, (cfg.clip_shape, cfg.clip_shape))
+
+
+def get_loader(family: str) -> Callable:
+    """Frozen-checkpoint loader for a family:
+    ``loader(checkpoint_dir, cfg, sam_checkpoint=None, **extra)``.
+    MGM additionally takes clip_checkpoint/aux_checkpoint."""
+    from flmm_tpu.convert import load as load_mod
+
+    loaders = {
+        "deepseek_vl": load_mod.deepseek_vl_frozen,
+        "llava": load_mod.llava_frozen,
+        "llava_next": lambda c, g, s=None, **kw: load_mod.llava_frozen(
+            c, g, s, next_variant=True),
+        "hpt": load_mod.hpt_frozen,
+        "mgm": lambda c, g, s=None, clip_checkpoint=None,
+        aux_checkpoint=None: load_mod.mgm_frozen(
+            c, g, clip_checkpoint, aux_checkpoint, s),
+    }
+    return loaders[family]

@@ -68,8 +68,10 @@ def main():
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
-    frozen = load_mod.deepseek_vl_frozen(args.checkpoint, cfg,
-                                         args.sam_checkpoint)
+    from flmm_tpu.registry import get_loader
+
+    frozen = get_loader(args.family)(args.checkpoint, cfg,
+                                     args.sam_checkpoint)
     params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
     if args.trained:
         from flmm_tpu.train import loop as train_loop

@@ -61,16 +61,13 @@ def main():
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
-    loaders = {
-        "deepseek_vl": load_mod.deepseek_vl_frozen,
-        "llava": load_mod.llava_frozen,
-        "llava_next": lambda c, g, s=None: load_mod.llava_frozen(
-            c, g, s, next_variant=True),
-        "hpt": load_mod.hpt_frozen,
-        "mgm": lambda c, g, s=None: load_mod.mgm_frozen(
-            c, g, args.clip_checkpoint, args.aux_checkpoint, s),
-    }
-    frozen = loaders[args.family](args.checkpoint, cfg, args.sam_checkpoint)
+    from flmm_tpu.registry import get_loader
+
+    extra = ({"clip_checkpoint": args.clip_checkpoint,
+              "aux_checkpoint": args.aux_checkpoint}
+             if args.family == "mgm" else {})
+    frozen = get_loader(args.family)(
+        args.checkpoint, cfg, args.sam_checkpoint, **extra)
     params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
     if args.trained:
         from flmm_tpu.train import loop as train_loop

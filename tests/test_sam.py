@@ -196,3 +196,41 @@ def test_mask_decoder_token_padding_isolation(ref_sam):
                        dense, sparse_valid=jnp.asarray(valid))
     np.testing.assert_allclose(np.asarray(m_pad)[1], np.asarray(m_full)[0],
                                atol=2e-5)
+
+
+def test_refiner_multimask_selection():
+    """multimask_output picks the candidate maximising IoU vs the coarse
+    mask (reference mask_refiner.py:114-118)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.models.mask_head import refiner
+    from flmm_tpu.models.sam import image_encoder as se
+    from flmm_tpu.models.sam import mask_decoder as smd
+    from flmm_tpu.models.sam import prompt_encoder as spe
+
+    cfg = dataclasses.replace(tiny().sam, multimask_output=True)
+    params = {
+        "prompt": spe.init_params(cfg.prompt, jax.random.key(1)),
+        "decoder": smd.init_params(cfg.decoder, jax.random.key(2)),
+    }
+    enc = se.init_params(cfg.encoder, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.standard_normal(
+        (1, cfg.encoder.img_size, cfg.encoder.img_size, 3)).astype(np.float32))
+    emb = se.forward(enc, cfg.encoder, px)[0]
+    M = 2
+    coarse = jnp.asarray(
+        rng.standard_normal((M, 16, 16)).astype(np.float32))
+    geom = {k: jnp.asarray(v, jnp.float32) for k, v in
+            dict(crop_y=0.0, crop_x=0.0, crop_h=16.0, crop_w=16.0,
+                 sam_h=float(cfg.encoder.img_size),
+                 sam_w=float(cfg.encoder.img_size)).items()}
+    text = jnp.zeros((M, 3, cfg.prompt.embed_dim), jnp.float32)
+    tvalid = jnp.ones((M, 3), bool)
+    out = refiner.refine(params, cfg, emb, coarse, geom, text, tvalid)
+    assert out["low_res_logits"].shape == (M, cfg.prompt_size,
+                                           cfg.prompt_size)
+    assert np.isfinite(np.asarray(out["low_res_logits"])).all()
+    assert out["iou_pred"].shape == (M,)
