@@ -67,7 +67,7 @@ def run(batch_size: int, iters: int = 6) -> float:
 def main():
     target = 20.0  # images/sec/chip (BASELINE.json)
     last_err = None
-    for bs in (16, 8, 4, 2, 1):
+    for bs in (8, 4, 2, 1):
         try:
             ips = run(bs)
             print(json.dumps({

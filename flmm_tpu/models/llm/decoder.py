@@ -211,6 +211,7 @@ def forward_capture(
     merge: str = "mean",
     layer_weights: jnp.ndarray | None = None,
     position_ids: jnp.ndarray | None = None,
+    shard_constraint=None,
 ) -> dict:
     """Run the frozen decoder, capturing merged text->image attention.
 
@@ -224,6 +225,9 @@ def forward_capture(
         is interpreted as a boolean membership matrix.  If None, raw
         ``(B, L, H, S, n_img)`` attention is returned instead (generation /
         analysis path).
+      shard_constraint: optional callable applied to the residual stream
+        each layer (e.g. ``lambda h: jax.lax.with_sharding_constraint(h,
+        P('data', 'model', None))`` for sequence parallelism under a mesh).
       position_ids: optional ``(B, S)`` explicit RoPE positions.  Used by
         anyres families to keep relative positions identical to the
         reference's dynamically-sized packed sequence while padding the
@@ -274,6 +278,8 @@ def forward_capture(
     def layer(carry, xs):
         h, acc = carry
         lp, w_l = xs
+        if shard_constraint is not None:
+            h = shard_constraint(h)
         x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
         q = x @ lp["wq"]
         k = x @ lp["wk"]

@@ -94,10 +94,38 @@ def _spec_for(path: tuple, leaf: Any) -> P:
     return P()  # replicate
 
 
-def param_shardings(mesh: Mesh, params: Any) -> Any:
-    """NamedShardings for a model param tree (frozen or full)."""
+def _fsdp_spec_for(path: tuple, leaf: Any, n_model: int = 1) -> P:
+    """FSDP/ZeRO-3-style: shard the stacked layer axis of decoder weights
+    over 'model' -- each device stores 1/n of every layer stack and XLA
+    all-gathers the active layer inside the scan.  Memory-optimal for
+    fitting 7B-class frozen decoders on small slices."""
+    names = [p.key for p in path if hasattr(p, "key")]
+    key = names[-1] if names else ""
+    if "llm" in names and key in (
+            "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+            "ln1", "ln2", "bq", "bk", "bv", "router"):
+        nd = getattr(leaf, "ndim", 0)
+        if nd >= 2 and leaf.shape[0] % n_model == 0:
+            return P(*(["model"] + [None] * (nd - 1)))
+    if key in ("embed", "lm_head") and getattr(leaf, "ndim", 0) == 2 \
+            and leaf.shape[1] % n_model == 0:
+        return P(None, "model")
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any, mode: str = "tp") -> Any:
+    """NamedShardings for a model param tree (frozen or full).
+
+    mode='tp': megatron-style head/FFN column sharding (compute-parallel).
+    mode='fsdp': layer-stack sharding (weight-memory-parallel, ZeRO-3-like).
+    """
+    if mode == "tp":
+        spec_fn = _spec_for
+    else:
+        n_model = mesh.shape["model"]
+        spec_fn = lambda path, leaf: _fsdp_spec_for(path, leaf, n_model)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params
+        lambda path, leaf: NamedSharding(mesh, spec_fn(path, leaf)), params
     )
 
 

@@ -101,15 +101,21 @@ def jit_train_step(
     state: Any,
     frozen: Any,
     batch_example: Any,
+    frozen_mode: str = "tp",
 ) -> Callable:
-    """jit the train step with explicit shardings over the mesh."""
+    """jit the train step with explicit shardings over the mesh.
+
+    ``frozen_mode``: 'tp' (megatron column sharding) or 'fsdp'
+    (layer-stack weight sharding); must match how the frozen tree was
+    device_put.
+    """
     step = make_train_step(loss_fn, opt)
     state_sh = {
         "step": mesh_lib.replicated(mesh, state["step"]),
         "params": mesh_lib.replicated(mesh, state["params"]),
         "opt_state": mesh_lib.replicated(mesh, state["opt_state"]),
     }
-    frozen_sh = mesh_lib.param_shardings(mesh, frozen)
+    frozen_sh = mesh_lib.param_shardings(mesh, frozen, mode=frozen_mode)
     batch_sh = mesh_lib.batch_shardings(mesh, batch_example)
     return jax.jit(
         step,
