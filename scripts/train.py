@@ -56,6 +56,7 @@ def parse_args():
     p.add_argument("--data-root", default="data/coco")
     p.add_argument("--work-dir", default="work_dirs/run")
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--num-workers", type=int, default=4)
     p.add_argument("--seq-len", type=int, default=704)
     p.add_argument("--max-masks", type=int, default=8)
     p.add_argument("--steps", type=int, default=None)
@@ -132,24 +133,47 @@ def real_stream(args, cfg, steps):
         processor=ProcessorConfig(size=base.input_size),
     )
     build = get_batch_builder(args.family)
-    rng = random.Random(0)
 
-    def sample_one():
-        src = rng.randrange(len(datasets) + len(ref_sets))
-        if src < len(datasets):
-            ds = datasets[src]
-            return ds[rng.randrange(len(ds))]
-        ds = ref_sets[src - len(datasets)]
-        return refcoco_to_sample(
-            ds[rng.randrange(len(ds))], tokenizer, spec, image_token_id,
-            concat=True, max_expressions=args.max_masks,
-        )[0]
+    # joint index space over PNG + RefCOCO datasets (reference
+    # concat_datasets, configs/...:134-167)
+    sizes = [len(d) for d in datasets] + [len(d) for d in ref_sets]
+    offsets = []
+    acc = 0
+    for sz in sizes:
+        offsets.append(acc)
+        acc += sz
 
-    for _ in range(steps):
-        samples = [sample_one() for _ in range(args.batch_size)]
-        batch = build(samples, bspec)
-        batch.pop("infos", None)
-        yield batch
+    def sample_one(gidx):
+        for di, (off, sz) in enumerate(zip(offsets, sizes)):
+            if gidx < off + sz:
+                local = gidx - off
+                if di < len(datasets):
+                    return datasets[di][local]
+                ds = ref_sets[di - len(datasets)]
+                return refcoco_to_sample(
+                    ds[local], tokenizer, spec, image_token_id,
+                    concat=True, max_expressions=args.max_masks,
+                )[0]
+        raise IndexError(gidx)
+
+    from flmm_tpu.data.loader import EpochSampler, PrefetchLoader
+
+    loader = PrefetchLoader(
+        sample_one,
+        lambda samples: {k: v for k, v in build(samples, bspec).items()
+                         if k != "infos"},
+        EpochSampler(acc, seed=0, shuffle=True),
+        batch_size=args.batch_size, num_workers=args.num_workers,
+    )
+    emitted = 0
+    epoch = 0
+    while emitted < steps:
+        for batch in loader.epoch(epoch):
+            yield batch
+            emitted += 1
+            if emitted >= steps:
+                return
+        epoch += 1
 
 
 def main():

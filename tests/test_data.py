@@ -254,3 +254,46 @@ def test_io_open_any_local(tmp_path):
     assert exists(str(p)) and not exists(str(tmp_path / "nope"))
     with open_any(f"file://{p}") as f:
         assert f.read() == b"hello"
+
+
+class TestPrefetchLoader:
+    def test_epoch_sampler_determinism_and_sharding(self):
+        from flmm_tpu.data.loader import EpochSampler
+
+        s = EpochSampler(10, seed=3)
+        assert s.epoch(0) == s.epoch(0)
+        assert s.epoch(0) != s.epoch(1)
+        a = EpochSampler(10, seed=3, num_shards=2, shard_id=0).epoch(0)
+        b = EpochSampler(10, seed=3, num_shards=2, shard_id=1).epoch(0)
+        assert sorted(a + b) == list(range(10))
+
+    def test_prefetch_loader_order_and_content(self):
+        import time
+        from flmm_tpu.data.loader import EpochSampler, PrefetchLoader
+
+        def sample(i):
+            time.sleep(0.002 * (i % 3))  # staggered work
+            return i
+
+        loader = PrefetchLoader(
+            sample, lambda xs: sorted(xs),
+            EpochSampler(17, seed=0, shuffle=True), batch_size=4,
+            num_workers=3)
+        batches = list(loader.epoch(0))
+        assert len(batches) == 4  # drop-last
+        seen = [x for b in batches for x in b]
+        assert len(set(seen)) == 16
+
+    def test_prefetch_loader_propagates_errors(self):
+        from flmm_tpu.data.loader import EpochSampler, PrefetchLoader
+
+        def sample(i):
+            if i == 3:
+                raise ValueError("boom")
+            return i
+
+        loader = PrefetchLoader(sample, list,
+                                EpochSampler(8, shuffle=False),
+                                batch_size=4, num_workers=2)
+        with pytest.raises(ValueError):
+            list(loader.epoch(0))
