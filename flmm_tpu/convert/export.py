@@ -13,7 +13,6 @@ import pathlib
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def export_fn(fn, example_args, path: str | pathlib.Path) -> None:

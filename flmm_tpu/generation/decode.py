@@ -16,7 +16,6 @@ stop are marked invalid rather than shortening the scan).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -108,8 +108,6 @@ def get_batch_builder(family: str, **spec_kwargs) -> Callable:
     here with defaults matching the released configs; override via
     ``spec_kwargs``.
     """
-    import functools
-
     kind = FAMILIES[family].batch_builder
     if kind == "standard":
         from flmm_tpu.data.collate import build_batch

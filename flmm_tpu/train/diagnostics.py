@@ -18,7 +18,7 @@ import contextlib
 import json
 import pathlib
 import time
-from typing import Any, IO
+from typing import IO
 
 import jax
 import optax
