@@ -32,6 +32,10 @@ class BatchSpec:
     # hybrid towers (DeepSeek-VL-7B): also emit a high-res square-padded
     # tensor at this size (the low-res tensor stays at processor.size)
     hires_size: int | None = None
+    # pad the prompt so the image block starts at a multiple of this
+    # (128 for the Pallas flash-capture kernel); masked pads + explicit
+    # position ids keep RoPE semantics identical to the unpadded sequence
+    align_image_block: int | None = None
 
 
 def _nearest_resize(mask: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
@@ -100,12 +104,35 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
     sweight = np.zeros((B, P, P), np.float32)
     metas, sam_hws, infos = [], [], []
 
+    align_pad = 0
+    if spec.align_image_block and samples:
+        a = spec.align_image_block
+        align_pad = (a - samples[0]["img_start"] % a) % a
+
     for b, s in enumerate(samples):
-        ids = s["input_ids"][:S]
+        full_ids = s["input_ids"]
+        full_mids = s["mask_ids"]
+        span_shift = 0
+        if align_pad:
+            st = s["img_start"]
+            full_ids = np.concatenate([
+                full_ids[:st],
+                np.full((align_pad,), spec.pad_token_id, np.int32),
+                full_ids[st:],
+            ])
+            full_mids = np.concatenate([
+                full_mids[:st], np.full((align_pad,), -1, np.int32),
+                full_mids[st:],
+            ])
+            span_shift = align_pad
+        ids = full_ids[:S]
         n = len(ids)
         input_ids[b, :n] = ids
         attn_mask[b, :n] = True
-        mids = s["mask_ids"][:S]
+        if align_pad:
+            st = s["img_start"]
+            attn_mask[b, st:st + align_pad] = False
+        mids = full_mids[:S]
         mids = np.where(mids >= M, -1, mids)
         mask_ids[b, :len(mids)] = mids
 
@@ -128,7 +155,7 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
 
         masks = s["masks"][:M]
         for m, (mask, span) in enumerate(zip(masks, s["spans"][:M])):
-            lo, hi = span
+            lo, hi = span[0] + span_shift, span[1] + span_shift
             hi = min(hi, n)
             if hi <= lo:
                 continue
@@ -145,9 +172,12 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
             "mask_infos": s.get("mask_infos"),
         })
 
+    position_ids = np.maximum(np.cumsum(attn_mask, axis=1) - 1, 0).astype(
+        np.int32)
     out_batch = {
         "input_ids": input_ids,
         "attn_mask": attn_mask,
+        "position_ids": position_ids,
         "mask_ids": mask_ids,
         "mask_valid": mask_valid,
         "text_idx": text_idx,

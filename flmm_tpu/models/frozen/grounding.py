@@ -204,6 +204,7 @@ def forward(params: dict, cfg: GroundingConfig, batch: dict) -> dict:
         fro["llm"], cfg.llm, embeds, batch["attn_mask"],
         img_start=cfg.img_start, n_img=n_img,
         merge_matrix=mm, merge=cfg.merge, layer_weights=lw,
+        position_ids=batch.get("position_ids"),
     )
 
     # 4. per-mask attention images (channel order = layer-major, matching

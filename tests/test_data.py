@@ -297,3 +297,51 @@ class TestPrefetchLoader:
                                 batch_size=4, num_workers=2)
         with pytest.raises(ValueError):
             list(loader.epoch(0))
+
+
+def test_alignment_padding_preserves_outputs(png_fixture):
+    """Inserting masked alignment pads before the image block (with explicit
+    position ids) must not change model outputs for real tokens."""
+    import jax
+    import jax.numpy as jnp
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.models.frozen import grounding as model
+
+    ds = PNGDataset(
+        json_file=str(png_fixture / "narr.json"),
+        panoptic_json_file=str(png_fixture / "pan.json"),
+        panoptic_png_path=str(png_fixture / "panoptic"),
+        image_path=str(png_fixture / "images"),
+        tokenizer=FakeTokenizer(),
+        prompt_spec=prompt_spec(64),
+        image_token_id=IMAGE_TOKEN_ID,
+    )
+    s = ds[0]
+    base_spec = BatchSpec(seq_len=112, max_masks=3, text_per_mask=4,
+                          coarse_hw=(16, 16), sam_size=128, prompt_size=32,
+                          processor=ProcessorConfig(size=64))
+    import dataclasses
+    align_spec = dataclasses.replace(base_spec, align_image_block=16)
+
+    b0 = build_batch([s], base_spec)
+    b1 = build_batch([s], align_spec)
+    pad = np.argmax(b1["input_ids"][0] == IMAGE_TOKEN_ID) - s["img_start"]
+    assert pad > 0 and (s["img_start"] + pad) % 16 == 0
+    # positions of real tokens must match the unpadded sequence
+    real0 = b0["position_ids"][0][b0["attn_mask"][0]]
+    real1 = b1["position_ids"][0][b1["attn_mask"][0]]
+    np.testing.assert_array_equal(real0, real1)
+
+    def run(batch, img_start):
+        cfg = tiny(img_start=img_start)
+        params = model.init_params(cfg, jax.random.key(0))
+        mb = {k: jax.tree.map(jnp.asarray, v) for k, v in batch.items()
+              if k != "infos"}
+        return model.forward(params, cfg, mb)
+
+    o0 = run(b0, s["img_start"])
+    o1 = run(b1, s["img_start"] + pad)
+    np.testing.assert_allclose(np.asarray(o1["coarse_logits"]),
+                               np.asarray(o0["coarse_logits"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o1["sam_logits"]),
+                               np.asarray(o0["sam_logits"]), atol=2e-3)
