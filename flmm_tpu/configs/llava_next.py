@@ -54,6 +54,7 @@ def _preset(llm: DecoderConfig, dtype, img_start: int) -> LlavaNextConfig:
         base=base, max_tiles=anyres.max_tiles,
         max_fine_hw=anyres.max_fine_hw, n_img_max=anyres.n_img_max,
         coarse_frame=(64, 64),
+        pinpoints=anyres.pinpoints, tile_size=anyres.tile_size,
     )
 
 
@@ -115,4 +116,5 @@ def tiny_llava_next(dtype=jnp.float32, img_start: int = 3) -> LlavaNextConfig:
         base=base, max_tiles=anyres.max_tiles,
         max_fine_hw=anyres.max_fine_hw, n_img_max=anyres.n_img_max,
         coarse_frame=(16, 16),
+        pinpoints=anyres.pinpoints, tile_size=anyres.tile_size,
     )

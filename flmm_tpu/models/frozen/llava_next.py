@@ -39,6 +39,18 @@ class LlavaNextConfig:
     max_fine_hw: tuple = (72, 72)
     n_img_max: int = 2928  # 576 + 48*49 for the 336-base pinpoints
     coarse_frame: tuple = (64, 64)  # square frame fed to the U-Net
+    # anyres grid pinpoints + tile geometry (drives the data-side
+    # AnyresSpec; see data/llava_next.py)
+    pinpoints: tuple = ((336, 672), (672, 336), (672, 672), (1008, 336),
+                        (336, 1008))
+    tile_size: int = 336
+
+    def anyres_spec(self):
+        from flmm_tpu.data.llava_next import AnyresSpec
+
+        return AnyresSpec(tile_size=self.tile_size,
+                          patch_size=self.base.vision.patch_size,
+                          pinpoints=self.pinpoints)
 
     @property
     def grid(self) -> int:

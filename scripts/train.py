@@ -70,12 +70,39 @@ def parse_args():
     return p.parse_args()
 
 
-def synthetic_stream(cfg, batch_size, steps):
-    from flmm_tpu.data.synthetic import synthetic_batch
+def synthetic_stream(args, cfg, steps):
+    """Schema-exact random batches for any family."""
+    from flmm_tpu.data.collate import BatchSpec
+    from flmm_tpu.data.processors import ProcessorConfig
+    from flmm_tpu.data.synthetic import synthetic_batch, synthetic_samples
+    from flmm_tpu.registry import get_batch_builder, get_coarse_hw
 
     base = cfg.base if hasattr(cfg, "base") else cfg
+    if args.family in ("deepseek_vl", "llava", "hpt"):
+        for i in range(steps):
+            yield synthetic_batch(base, batch_size=args.batch_size, seed=i)
+        return
+    if args.family == "mgm":
+        build = get_batch_builder(
+            "mgm", crop_size=base.vision.image_size,
+            aux_size=cfg.aux.image_size, image_grid=cfg.image_grid,
+            image_global=cfg.image_global)
+    else:  # llava_next
+        a = cfg.anyres_spec()
+        build = get_batch_builder(
+            "llava_next", tile_size=a.tile_size, patch_size=a.patch_size,
+            pinpoints=a.pinpoints)
+    sam_size = base.sam.encoder.img_size
     for i in range(steps):
-        b = synthetic_batch(base, batch_size=batch_size, seed=i)
+        samples = synthetic_samples(cfg, args.batch_size, seed=i)
+        spec = BatchSpec(
+            seq_len=max(len(s["input_ids"]) for s in samples) + 16,
+            max_masks=2, text_per_mask=8,
+            coarse_hw=get_coarse_hw(cfg), sam_size=sam_size,
+            prompt_size=base.sam.prompt_size,
+            processor=ProcessorConfig(size=base.input_size))
+        b = build(samples, spec)
+        b.pop("infos", None)
         yield b
 
 
@@ -226,10 +253,7 @@ def main():
     mesh = mesh_lib.make_mesh(n_data=n_data, n_model=args.n_model)
     loss_fn = lambda p, b: model.loss_fn(p, cfg, b)
 
-    if args.synthetic and args.family not in ("deepseek_vl", "llava", "hpt"):
-        raise SystemExit("--synthetic supports the standard-schema families "
-                         "(deepseek_vl/llava/hpt); anyres/mgm need real data")
-    stream = (synthetic_stream(cfg, args.batch_size, steps)
+    stream = (synthetic_stream(args, cfg, steps)
               if args.synthetic else real_stream(args, cfg, steps))
     step_fn = None
     frozen_sharded = None
