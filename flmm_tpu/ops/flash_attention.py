@@ -143,7 +143,7 @@ def _merged_kernel(
             s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
             k_pos = kj * BLOCK + jax.lax.broadcasted_iota(
                 jnp.int32, (BLOCK, BLOCK), 1)
-            k_ok = valid_ref[0, pl.ds(kj * BLOCK, BLOCK)] > 0  # (BLOCK,)
+            k_ok = valid_ref[0, 0, pl.ds(kj * BLOCK, BLOCK)] > 0  # (BLOCK,)
             mask = (k_pos <= q_pos) & k_ok[None, :]
             s = jnp.where(mask, s, NEG_INF)
             m_prev = m_ref[...]
@@ -207,14 +207,15 @@ def flash_attention_with_merged_capture(
     kf = k.reshape(B * H, S, hd)
     vf = v.reshape(B * H, S, hd)
     lens = jnp.zeros((B * H,), jnp.int32)  # unused scalar prefetch slot
-    valid = key_valid.astype(jnp.int32)
+    valid = key_valid.astype(jnp.int32).reshape(B, 1, S)
     mm = jnp.pad(merge_matrix.astype(jnp.float32),
                  ((0, 0), (0, 0), (0, m_pad - M)))
 
     def kern(len_all, q_r, k_r, v_r, valid_r, mm_r, o_r, img_r,
              acc, m, l, img_acc):
         _merged_kernel(
-            len_all, q_r.at[0], k_r.at[0], v_r.at[0], valid_r, mm_r.at[0],
+            len_all, q_r.at[0], k_r.at[0], v_r.at[0], valid_r,
+            mm_r.at[0],
             o_r.at[0], img_r.at[0], acc, m, l, img_acc,
             scale=scale, img_start=img_start, n_img_pad=n_img_pad,
             seq_len=S,
@@ -227,7 +228,7 @@ def flash_attention_with_merged_capture(
             pl.BlockSpec((1, BLOCK, hd), lambda b, i, lens: (b, i, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i, lens: (b, 0, 0)),
             pl.BlockSpec((1, S, hd), lambda b, i, lens: (b, 0, 0)),
-            pl.BlockSpec((1, S), lambda b, i, lens: (b // H, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, i, lens: (b // H, 0, 0)),
             pl.BlockSpec((1, BLOCK, m_pad),
                          lambda b, i, lens: (b // H, i, 0)),
         ],
