@@ -37,6 +37,10 @@ def mistral_7b(dtype=jnp.bfloat16) -> DecoderConfig:
 
 def _preset(llm: DecoderConfig, dtype, img_start: int) -> LlavaNextConfig:
     anyres = AnyresSpec()
+    # flash capture wins at anyres sequence lengths (151 vs 183 ms/4-layer
+    # block at S=3072 on v5e); requires data-side align_image_block=128 and
+    # S%128==0, else the decoder silently uses the XLA path.
+    llm = dataclasses.replace(llm, use_flash_capture=True)
     base = GroundingConfig(
         llm=llm,
         vision=clip_vit_l_336(dtype),

@@ -244,17 +244,37 @@ def build_anyres_batch(samples: list[dict], spec: BatchSpec,
         out["fine_hw"][b] = proc["fine_hw"]
 
         # the sample's input_ids contain a placeholder image block of
-        # exactly n_img_max tokens starting at img_start (data side pads)
-        ids = s["input_ids"][:S]
+        # exactly n_img_max tokens starting at img_start (data side pads);
+        # optionally insert masked pads so the block is 128-aligned for the
+        # flash-capture kernel (positions skip pads)
+        full_ids = s["input_ids"]
+        full_mids = s["mask_ids"]
+        img_start = s["img_start"]
+        span_shift = 0
+        if spec.align_image_block:
+            a = spec.align_image_block
+            pad_n = (a - img_start % a) % a
+            if pad_n:
+                full_ids = np.concatenate([
+                    full_ids[:img_start],
+                    np.full((pad_n,), spec.pad_token_id, np.int32),
+                    full_ids[img_start:]])
+                full_mids = np.concatenate([
+                    full_mids[:img_start], np.full((pad_n,), -1, np.int32),
+                    full_mids[img_start:]])
+                span_shift = pad_n
+                img_start += pad_n
+        ids = full_ids[:S]
         n = len(ids)
         out["input_ids"][b, :n] = ids
-        img_start = s["img_start"]
         valid = np.zeros((S,), bool)
         valid[:n] = True
+        if span_shift:
+            valid[img_start - span_shift:img_start] = False
         valid[img_start:img_start + n_max] = layout["block_valid"]
         out["attn_mask"][b] = valid
         out["position_ids"][b] = np.maximum(np.cumsum(valid) - 1, 0)
-        mids = s["mask_ids"][:S]
+        mids = full_mids[:S]
         mids = np.where(mids >= M, -1, mids)
         out["mask_ids"][b, :len(mids)] = mids
         # (invalid image-pad slots carry -1 already: the sample's mask_ids
@@ -272,7 +292,7 @@ def build_anyres_batch(samples: list[dict], spec: BatchSpec,
 
         masks = s["masks"][:M]
         for m, (mask, span) in enumerate(zip(masks, s["spans"][:M])):
-            lo, hi = span
+            lo, hi = span[0] + span_shift, span[1] + span_shift
             hi = min(hi, n)
             if hi <= lo:
                 continue
