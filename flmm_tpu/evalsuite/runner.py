@@ -55,6 +55,8 @@ def run_eval(
     accumulator_factory: Callable,
     score_fn: Callable,
     progress: Callable | None = None,
+    seq_len_buckets: tuple | None = None,
+    batch_builder: Callable | None = None,
 ):
     """Generic eval loop.
 
@@ -62,7 +64,16 @@ def run_eval(
       predict_fn: jitted ``batch -> (B, M, P, P) low-res SAM logits``
         (numpy-convertible).
       score_fn: ``(acc, sample, pred_masks_orig (K,oh,ow)) -> None``.
+      seq_len_buckets: optional ascending sequence-length buckets; each
+        batch pads only to the smallest bucket that fits its longest
+        sample (one compiled program per bucket) instead of the global
+        ``spec.seq_len``.
+      batch_builder: family batch builder (defaults to the standard
+        ``collate.build_batch``).
     """
+    import dataclasses
+
+    build = batch_builder or build_batch
     acc = accumulator_factory()
     buf = []
 
@@ -70,7 +81,13 @@ def run_eval(
         if not buf:
             return
         pad = buf + [buf[-1]] * (batch_size - len(buf))
-        batch = build_batch(pad, spec)
+        bspec = spec
+        if seq_len_buckets:
+            need = max(len(s["input_ids"]) for s in pad)
+            fits = [b for b in sorted(seq_len_buckets) if b >= need]
+            bspec = dataclasses.replace(
+                spec, seq_len=fits[0] if fits else max(seq_len_buckets))
+        batch = build(pad, bspec)
         infos = batch.pop("infos")
         logits = np.asarray(predict_fn(batch))
         geom = batch["geom"]

@@ -41,6 +41,8 @@ def main():
     p.add_argument("--data-root", default="data/coco")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=704)
+    p.add_argument("--seq-buckets", type=int, nargs="*", default=None,
+                   help="optional seq-length buckets (pad per batch)")
     p.add_argument("--max-masks", type=int, default=16)
     p.add_argument("--debug", action="store_true")
     args = p.parse_args()
@@ -114,8 +116,14 @@ def main():
         batch = {k: v for k, v in batch.items() if k != "infos"}
         return np.asarray(predict(jax.tree.map(jnp.asarray, batch)))
 
+    build = __import__("flmm_tpu.registry",
+                       fromlist=["get_batch_builder"]).get_batch_builder(
+        args.family)
     acc = run_eval((ds[i] for i in range(n)), predict_np, bspec,
-                   args.batch_size, PNGAccumulator, png_score)
+                   args.batch_size, PNGAccumulator, png_score,
+                   seq_len_buckets=tuple(args.seq_buckets)
+                   if args.seq_buckets else None,
+                   batch_builder=build)
     print(json.dumps(acc.results(), indent=2))
 
 

@@ -58,6 +58,8 @@ def main():
     p.add_argument("--image-dir", default=None)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seq-len", type=int, default=704)
+    p.add_argument("--seq-buckets", type=int, nargs="*", default=None,
+                   help="optional seq-length buckets (pad per batch)")
     p.add_argument("--max-masks", type=int, default=8)
     p.add_argument("--concat", action="store_true",
                    help="one pass per image instead of per expression")
@@ -144,7 +146,10 @@ def main():
                 )
 
         acc = run_eval(samples(), predict_np, bspec, args.batch_size,
-                       RefSegAccumulator, refcoco_score)
+                       RefSegAccumulator, refcoco_score,
+                       seq_len_buckets=tuple(args.seq_buckets)
+                       if args.seq_buckets else None,
+                       batch_builder=build)
         results[f"{name}/{split}"] = acc.results()
         print(json.dumps({f"{name}/{split}": results[f"{name}/{split}"]}),
               flush=True)

@@ -98,3 +98,36 @@ def test_prefill_attn_matches_forward_capture():
         np.asarray(state["hidden"]), np.asarray(full_w["hidden"])[0],
         atol=1e-5,
     )
+
+
+def test_decode_matches_full_forward_gemma_and_moe():
+    """Decode parity for the Gemma quirks (embed scaling, (1+w) norm, tied
+    embeddings) and the MoE MLP."""
+    for kwargs in (
+        dict(act="gelu_tanh", embed_scale=True, gemma_norm=True,
+             tie_embeddings=True, num_kv_heads=1),
+        dict(num_experts=4, num_experts_per_tok=2, num_kv_heads=2),
+    ):
+        cfg = DecoderConfig(
+            vocab_size=64, hidden_size=32, num_layers=2, num_heads=4,
+            head_dim=8, intermediate_size=64, dtype=jnp.float32, **kwargs)
+        params = init_params(cfg, jax.random.key(2))
+        rng = np.random.default_rng(4)
+        prompt = jnp.asarray(rng.integers(0, 64, (8,)), jnp.int32)
+        embeds = embed_tokens(params, cfg, prompt)
+        T = 4
+        state = prefill(params, cfg, embeds, IMG_START, N_IMG,
+                        max_new_tokens=T)
+        out = decode(params, cfg, state, DecodeConfig(max_new_tokens=T),
+                     IMG_START, N_IMG)
+        toks = np.asarray(out["tokens"])
+        seq = list(np.asarray(prompt))
+        for t in range(T):
+            full = forward_capture(
+                params, cfg,
+                embed_tokens(params, cfg, jnp.asarray(seq, jnp.int32))[None],
+                jnp.ones((1, len(seq)), bool), IMG_START, N_IMG)
+            nxt = int(jnp.argmax(
+                lm_logits(params, cfg, full["last_hidden"])[0, -1]))
+            assert toks[t] == nxt, (kwargs, t, toks, nxt)
+            seq.append(nxt)

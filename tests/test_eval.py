@@ -139,3 +139,40 @@ def test_get_coarse_hw_per_family():
     assert get_coarse_hw(deepseek_vl_1_3b()) == (64, 64)
     assert get_coarse_hw(llava_next_vicuna_7b()) == (64, 64)
     assert get_coarse_hw(mgm_vicuna_7b_hd()) == (64, 64)
+
+
+def test_run_eval_seq_len_buckets():
+    """Bucketed eval pads each batch to the smallest fitting bucket and
+    still scores every sample."""
+    from tests.test_data import FakeTokenizer, prompt_spec, IMAGE_TOKEN_ID
+    from flmm_tpu.data.refcoco import refcoco_to_sample
+    from PIL import Image
+
+    rng = np.random.default_rng(2)
+    samples = []
+    for i in range(4):
+        mask = np.zeros((40, 40), np.uint8)
+        mask[5:20, 5:20] = 1
+        item = {
+            "image": Image.new("RGB", (40, 40), (40, 90, 120)),
+            "expressions": [" ".join(["word"] * (2 + 10 * (i % 2)))],
+            "masks": mask[None],
+            "file_name": f"{i}.jpg",
+        }
+        samples += refcoco_to_sample(item, FakeTokenizer(), prompt_spec(8),
+                                     IMAGE_TOKEN_ID, concat=True)
+
+    spec = BatchSpec(seq_len=64, max_masks=2, text_per_mask=4,
+                     coarse_hw=(16, 16), sam_size=128, prompt_size=32,
+                     processor=ProcessorConfig(size=64))
+    seen_lens = []
+
+    def predict(batch):
+        seen_lens.append(batch["input_ids"].shape[1])
+        return np.where(batch["gt_sam"] > 0.5, 8.0, -8.0)
+
+    acc = run_eval(samples, predict, spec, batch_size=2,
+                   accumulator_factory=RefSegAccumulator,
+                   score_fn=refcoco_score, seq_len_buckets=(24, 48))
+    assert acc.results()["n"] == 4
+    assert set(seen_lens) <= {24, 48} and len(set(seen_lens)) >= 1
