@@ -122,6 +122,21 @@ def init_params(cfg: GroundingConfig, key: jax.Array) -> dict:
     }
 
 
+def quantize_frozen_sam(params: dict) -> dict:
+    """Int8-quantize the frozen SAM image encoder's projections (W8A8).
+
+    The encoder never trains (reference mask_refiner.py:30), so this is a
+    pure inference-deployment transform: ``ops.quant.dense`` dispatches on
+    the quantized keys, no config change needed.  See tests/test_quant.py
+    for the accuracy bound.
+    """
+    out = dict(params)
+    fro = dict(params["frozen"])
+    fro["sam_encoder"] = sam_encoder.quantize_params(fro["sam_encoder"])
+    out["frozen"] = fro
+    return out
+
+
 def _project(features: jnp.ndarray, layers: list) -> jnp.ndarray:
     """DeepSeek 'mlp_gelu' aligner (reference projector.py:39-45)."""
     x = features

@@ -200,6 +200,151 @@ def _mlp(x2: jnp.ndarray, lp: dict, cfg: "DecoderConfig") -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def layer_step(
+    lp: dict,
+    w_l: jnp.ndarray,
+    h: jnp.ndarray,
+    acc: jnp.ndarray,
+    aux: dict,
+    cfg: DecoderConfig,
+    img_start: int,
+    n_img: int,
+    merge: str,
+    flash_ok: bool,
+    shard_constraint=None,
+):
+    """One decoder layer with fused attention capture.
+
+    Pure function shared by ``forward_capture``'s layer scan and the
+    pipeline-parallel schedule (parallel/pipeline.py).
+
+    Args:
+      lp: one layer's parameters (un-stacked leaves).
+      w_l: this layer's hidden-sum weight (scalar).
+      h, acc: residual stream ``(B, S, D)`` and f32 weighted-hidden
+        accumulator.
+      aux: dict with ``cos``/``sin`` RoPE tables, ``bias`` additive
+        attention bias ``(B, 1, S, S)``, ``valid`` ``(B, S)`` bool and
+        optional ``merge_matrix`` ``(B, S, M)`` (None -> raw capture).
+
+    Returns ``(h, acc, side)``.
+    """
+    B, S, _ = h.shape
+    H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    scale = 1.0 / jnp.sqrt(float(hd))
+    cos, sin = aux["cos"], aux["sin"]
+    merge_matrix = aux.get("merge_matrix")
+
+    if shard_constraint is not None:
+        h = shard_constraint(h)
+    x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
+    q = x @ lp["wq"]
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    if cfg.attn_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(B, S, H, hd)
+    k = k.reshape(B, S, KV, hd)
+    v = v.reshape(B, S, KV, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if KV != H:
+        rep = H // KV
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if flash_ok:
+        from flmm_tpu.ops.flash_attention import (
+            flash_attention_with_merged_capture,
+        )
+
+        out4, side = flash_attention_with_merged_capture(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), aux["valid"], merge_matrix,
+            img_start, n_img,
+        )
+        out = out4.transpose(0, 2, 1, 3).astype(cfg.dtype)
+    else:
+        logits = (
+            jnp.einsum("bshd,bthd->bhst", q, k,
+                       preferred_element_type=jnp.float32)
+            * scale
+            + aux["bias"]
+        )
+        probs = jax.nn.softmax(logits, axis=-1)  # f32
+        out = jnp.einsum(
+            "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(cfg.dtype)
+    attn_out = out.reshape(B, S, H * hd) @ lp["wo"]
+    h = h + attn_out
+
+    x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
+    h = h + _mlp(x2, lp, cfg)
+
+    if not flash_ok:
+        img_probs = jax.lax.dynamic_slice_in_dim(
+            probs, img_start, n_img, axis=3)
+        # (B, H, S, n_img)
+        if merge_matrix is None:
+            side = img_probs
+        elif merge == "mean":
+            side = jnp.einsum(
+                "bhsn,bsm->bhmn", img_probs, merge_matrix,
+                preferred_element_type=jnp.float32,
+            )
+        elif merge == "max":
+            member = merge_matrix > 0  # (B, S, M)
+            masked = jnp.where(
+                member[:, None, :, :, None],
+                img_probs[:, :, :, None, :],
+                jnp.finfo(jnp.float32).min,
+            )
+            side = masked.max(axis=2)  # (B, H, M, n_img)
+            side = jnp.where(
+                side <= jnp.finfo(jnp.float32).min / 2, 0.0, side)
+        else:
+            raise ValueError(merge)
+
+    acc = acc + w_l * jax.lax.stop_gradient(h).astype(jnp.float32)
+    return h, acc, side
+
+
+def capture_aux(
+    cfg: DecoderConfig,
+    attention_mask: jnp.ndarray,
+    position_ids: jnp.ndarray | None,
+    seq_len: int,
+    merge_matrix: jnp.ndarray | None,
+) -> dict:
+    """Precompute the per-batch tensors ``layer_step`` consumes."""
+    if position_ids is None:
+        positions = jnp.arange(seq_len)[None, :]  # left-aligned sequences
+    else:
+        positions = position_ids
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    valid = attention_mask.astype(jnp.bool_)
+    causal = jnp.tril(jnp.ones((seq_len, seq_len), jnp.bool_))
+    allow = causal[None] & valid[:, None, :]  # (B, S, S) keys last
+    bias = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[:, None]
+    aux = {"cos": cos, "sin": sin, "bias": bias, "valid": valid}
+    if merge_matrix is not None:
+        aux["merge_matrix"] = merge_matrix
+    return aux
+
+
+def flash_capture_ok(
+    cfg: DecoderConfig, merge_matrix, merge: str, seq_len: int,
+    img_start: int, n_img: int,
+) -> bool:
+    return bool(
+        cfg.use_flash_capture and merge_matrix is not None
+        and merge == "mean" and seq_len % 128 == 0 and img_start % 128 == 0
+        and img_start + ((n_img + 127) // 128) * 128 <= seq_len
+    )
+
+
 def forward_capture(
     params: Params,
     cfg: DecoderConfig,
@@ -244,22 +389,13 @@ def forward_capture(
     (``(B, S, D)`` post-norm).
     """
     B, S, D = inputs_embeds.shape
-    L, H, KV, hd = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    L = cfg.num_layers
 
     h = inputs_embeds.astype(cfg.dtype)
     if cfg.embed_scale:
         h = h * jnp.asarray(jnp.sqrt(float(cfg.hidden_size)), cfg.dtype)
 
-    if position_ids is None:
-        positions = jnp.arange(S)[None, :]  # left-aligned sequences
-    else:
-        positions = position_ids
-    cos, sin = rope_tables(positions, hd, cfg.rope_theta)
-
-    valid = attention_mask.astype(jnp.bool_)
-    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
-    allow = causal[None] & valid[:, None, :]  # (B, S, S) keys dimension last
-    bias = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[:, None]  # (B,1,S,S)
+    aux = capture_aux(cfg, attention_mask, position_ids, S, merge_matrix)
 
     if layer_weights is None:
         layer_weights = jnp.zeros((L,), jnp.float32)
@@ -268,91 +404,15 @@ def forward_capture(
     # the last layer inside the scan; the final (normed) term is added after.
     scan_weights = layer_weights.at[L - 1].set(0.0)
 
-    scale = 1.0 / jnp.sqrt(float(hd))
-    flash_ok = (
-        cfg.use_flash_capture and merge_matrix is not None
-        and merge == "mean" and S % 128 == 0 and img_start % 128 == 0
-        and img_start + ((n_img + 127) // 128) * 128 <= S
-    )
+    flash_ok = flash_capture_ok(cfg, merge_matrix, merge, S, img_start, n_img)
 
     def layer(carry, xs):
         h, acc = carry
         lp, w_l = xs
-        if shard_constraint is not None:
-            h = shard_constraint(h)
-        x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
-        q = x @ lp["wq"]
-        k = x @ lp["wk"]
-        v = x @ lp["wv"]
-        if cfg.attn_bias:
-            q = q + lp["bq"]
-            k = k + lp["bk"]
-            v = v + lp["bv"]
-        q = q.reshape(B, S, H, hd)
-        k = k.reshape(B, S, KV, hd)
-        v = v.reshape(B, S, KV, hd)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
-        if KV != H:
-            rep = H // KV
-            k = jnp.repeat(k, rep, axis=2)
-            v = jnp.repeat(v, rep, axis=2)
-        if flash_ok:
-            from flmm_tpu.ops.flash_attention import (
-                flash_attention_with_merged_capture,
-            )
-
-            out4, side = flash_attention_with_merged_capture(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), valid, merge_matrix,
-                img_start, n_img,
-            )
-            out = out4.transpose(0, 2, 1, 3).astype(cfg.dtype)
-        else:
-            logits = (
-                jnp.einsum("bshd,bthd->bhst", q, k,
-                           preferred_element_type=jnp.float32)
-                * scale
-                + bias
-            )
-            probs = jax.nn.softmax(logits, axis=-1)  # f32
-            out = jnp.einsum(
-                "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
-                preferred_element_type=jnp.float32,
-            ).astype(cfg.dtype)
-        attn_out = out.reshape(B, S, H * hd) @ lp["wo"]
-        h = h + attn_out
-
-        x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
-        h = h + _mlp(x2, lp, cfg)
-
-        if flash_ok:
-            pass  # side already computed by the kernel
-        else:
-            img_probs = jax.lax.dynamic_slice_in_dim(
-                probs, img_start, n_img, axis=3)
-            # (B, H, S, n_img)
-            if merge_matrix is None:
-                side = img_probs
-            elif merge == "mean":
-                side = jnp.einsum(
-                    "bhsn,bsm->bhmn", img_probs, merge_matrix,
-                    preferred_element_type=jnp.float32,
-                )
-            elif merge == "max":
-                member = merge_matrix > 0  # (B, S, M)
-                masked = jnp.where(
-                    member[:, None, :, :, None],
-                    img_probs[:, :, :, None, :],
-                    jnp.finfo(jnp.float32).min,
-                )
-                side = masked.max(axis=2)  # (B, H, M, n_img)
-                side = jnp.where(
-                    side <= jnp.finfo(jnp.float32).min / 2, 0.0, side)
-            else:
-                raise ValueError(merge)
-
-        acc = acc + w_l * jax.lax.stop_gradient(h).astype(jnp.float32)
+        h, acc, side = layer_step(
+            lp, w_l, h, acc, aux, cfg, img_start, n_img, merge, flash_ok,
+            shard_constraint,
+        )
         return (h, acc), side
 
     stacked = params["layers"]

@@ -29,14 +29,16 @@ def channel_norm(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, eps: float = 1e
 
 
 def mlp_block(x: jnp.ndarray, p: dict, act: str = "gelu") -> jnp.ndarray:
-    h = x @ p["w1"] + p["b1"]
+    from flmm_tpu.ops.quant import dense as qdense
+
+    h = qdense(x, p, "w1") + p["b1"]
     if act == "gelu":
         h = jax.nn.gelu(h, approximate=False)
     elif act == "relu":
         h = jax.nn.relu(h)
     else:
         raise ValueError(act)
-    return h @ p["w2"] + p["b2"]
+    return qdense(h, p, "w2") + p["b2"]
 
 
 def linear(x: jnp.ndarray, p: dict) -> jnp.ndarray:

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from flmm_tpu.models.sam.common import channel_norm, conv2d, layer_norm, mlp_block
+from flmm_tpu.ops.quant import dense as qdense
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,7 +114,7 @@ def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
     """
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
+    qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, H * W, nh, hd)
     k = k.reshape(B, H * W, nh, hd)
@@ -153,7 +154,7 @@ def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
             (qc.transpose(1, 0, 2, 3, 4, 5), rc),
         )  # (n_chunks, B, rows*W, C)
         out = outs.transpose(1, 0, 2, 3).reshape(B, H * W, C)
-    return (out @ bp["wo"] + bp["bo"]).reshape(B, H, W, C)
+    return (qdense(out, bp, "wo") + bp["bo"]).reshape(B, H, W, C)
 
 
 def _flash_global_attention(
@@ -164,7 +165,7 @@ def _flash_global_attention(
 
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
+    qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(t):
@@ -176,7 +177,7 @@ def _flash_global_attention(
     )
     out = out.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(
         B, H * W, C)
-    return ((out @ bp["wo"]) + bp["bo"]).reshape(B, H, W, C)
+    return (qdense(out, bp, "wo") + bp["bo"]).reshape(B, H, W, C)
 
 
 def _flash_window_attention(
@@ -193,7 +194,7 @@ def _flash_window_attention(
     B, H, W, C = x.shape
     ws = cfg.window_size
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv = x.reshape(B, H * W, C) @ bp["wqkv"] + bp["bqkv"]
+    qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
     qkv = qkv.reshape(B, H, W, 3 * C)
     pad_h = (ws - H % ws) % ws
     pad_w = (ws - W % ws) % ws
@@ -216,7 +217,7 @@ def _flash_window_attention(
     out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
     out = out[:, :H, :W]
-    return (out.reshape(B, H * W, C) @ bp["wo"] + bp["bo"]).reshape(
+    return (qdense(out.reshape(B, H * W, C), bp, "wo") + bp["bo"]).reshape(
         B, H, W, C)
 
 
@@ -274,3 +275,28 @@ def forward(params: dict, cfg: SamEncoderConfig, pixels: jnp.ndarray) -> jnp.nda
     x = conv2d(x, params["neck1_kernel"], padding=1)
     x = channel_norm(x, params["neck1_ln_w"], params["neck1_ln_b"], cfg.ln_eps)
     return x
+
+
+def quantize_params(params: dict) -> dict:
+    """Int8-quantize every per-token projection of a (frozen) encoder.
+
+    Per-output-channel weight scales; activations quantize dynamically
+    inside ``ops.quant.int8_matmul``.  Halves the weight HBM footprint and
+    runs the projections on the MXU's 2x int8 path.  Attention cores
+    (q @ k, p @ v) and the convs stay in the original dtype.
+    """
+    from flmm_tpu.ops.quant import quantize_weight
+
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    blocks = []
+    for bp in params["blocks"]:
+        nb = {k: v for k, v in bp.items() if k not in ("wqkv", "wo", "mlp")}
+        for name in ("wqkv", "wo"):
+            nb[name + "_q"], nb[name + "_s"] = quantize_weight(bp[name])
+        mlp = {k: v for k, v in bp["mlp"].items() if k not in ("w1", "w2")}
+        for name in ("w1", "w2"):
+            mlp[name + "_q"], mlp[name + "_s"] = quantize_weight(bp["mlp"][name])
+        nb["mlp"] = mlp
+        blocks.append(nb)
+    out["blocks"] = blocks
+    return out

@@ -1,0 +1,77 @@
+"""Int8 quantization (ops/quant.py) — accuracy vs the f32 path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from flmm_tpu.ops.quant import dense, int8_matmul, quantize_weight
+from flmm_tpu.models.sam import image_encoder as enc
+
+
+def test_int8_matmul_accuracy():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(64, 256)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(256, 128)) * 0.05, jnp.float32)
+    w_q, w_s = quantize_weight(w)
+    got = np.asarray(int8_matmul(x, w_q, w_s))
+    want = np.asarray(x @ w)
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.02, rel
+    # per-channel scale really is per-channel: scale one output column up
+    w2 = w.at[:, 0].mul(100.0)
+    w2_q, w2_s = quantize_weight(w2)
+    got2 = np.asarray(int8_matmul(x, w2_q, w2_s))
+    want2 = np.asarray(x @ w2)
+    rel2 = np.linalg.norm(got2 - want2) / np.linalg.norm(want2)
+    assert rel2 < 0.02, rel2
+
+
+def test_dense_dispatch():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(8, 32)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(32, 16)) * 0.1, jnp.float32)
+    p_f32 = {"w": w}
+    w_q, w_s = quantize_weight(w)
+    p_q = {"w_q": w_q, "w_s": w_s}
+    a = np.asarray(dense(x, p_f32, "w"))
+    b = np.asarray(dense(x, p_q, "w"))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.02, rel
+
+
+def test_sam_encoder_int8_close_to_f32():
+    """quantize_params(encoder) output stays close to the f32 encoder."""
+    cfg = enc.SamEncoderConfig(
+        img_size=64, patch_size=16, embed_dim=64, depth=3, num_heads=2,
+        out_chans=32, window_size=2, global_attn_indexes=(1,),
+    )
+    params = enc.init_params(cfg, jax.random.key(0))
+    # non-trivial rel-pos / pos-embed so the bias paths are exercised
+    params["pos_embed"] = 0.02 * jax.random.normal(
+        jax.random.key(1), params["pos_embed"].shape)
+    for bp in params["blocks"]:
+        bp["rel_pos_h"] = 0.02 * jax.random.normal(
+            jax.random.key(2), bp["rel_pos_h"].shape)
+        bp["rel_pos_w"] = 0.02 * jax.random.normal(
+            jax.random.key(3), bp["rel_pos_w"].shape)
+    pixels = jax.random.normal(jax.random.key(4), (2, 64, 64, 3))
+    want = np.asarray(enc.forward(params, cfg, pixels))
+    got = np.asarray(enc.forward(enc.quantize_params(params), cfg, pixels))
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 0.05, rel
+
+
+def test_pipeline_int8_sam_stability():
+    """quantize_frozen_sam barely moves the end-to-end SAM mask probs."""
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.data.synthetic import synthetic_batch
+    from flmm_tpu.models.frozen import grounding
+
+    cfg = tiny()
+    params = grounding.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(cfg, batch_size=2))
+    want = grounding.forward(params, cfg, batch)["sam_logits"]
+    got = grounding.forward(
+        grounding.quantize_frozen_sam(params), cfg, batch)["sam_logits"]
+    dp = np.abs(jax.nn.sigmoid(got) - jax.nn.sigmoid(want))
+    assert float(dp.mean()) < 0.02, float(dp.mean())
