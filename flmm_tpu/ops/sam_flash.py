@@ -111,7 +111,7 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
 def sam_window_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
-    side: int, interpret: bool = False,
+    side: int, interpret: bool = False, group: int | None = None,
 ) -> jnp.ndarray:
     """Windowed ViTDet attention (reference image_encoder windowed blocks).
 
@@ -143,7 +143,9 @@ def sam_window_attention(
     bh = pad(bias_h).astype(jnp.bfloat16)
     bw = pad(bias_w).astype(jnp.bfloat16)
 
-    group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
     kernel = functools.partial(_window_kernel, scale=scale, side=side,
                                valid=T, group=group)
 

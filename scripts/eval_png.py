@@ -45,6 +45,9 @@ def main():
                    help="optional seq-length buckets (pad per batch)")
     p.add_argument("--max-masks", type=int, default=16)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--int8-sam", action="store_true",
+                   help="W8A8-quantize the frozen SAM encoder (see "
+                        "ops/quant.py)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -78,6 +81,10 @@ def main():
         state = train_loop.init_state(params["trainable"], opt)
         state = ckpt.restore(args.trained, state)
         params["trainable"] = state["params"]
+    if args.int8_sam:
+        from flmm_tpu.models.frozen.grounding import quantize_frozen_sam
+
+        params = quantize_frozen_sam(params)
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     from flmm_tpu.registry import FAMILY_TEMPLATES

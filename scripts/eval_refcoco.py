@@ -64,6 +64,9 @@ def main():
     p.add_argument("--concat", action="store_true",
                    help="one pass per image instead of per expression")
     p.add_argument("--debug", action="store_true", help="first 100 samples")
+    p.add_argument("--int8-sam", action="store_true",
+                   help="W8A8-quantize the frozen SAM encoder (2x MXU / "
+                        "half the weight HBM; see ops/quant.py)")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -98,6 +101,10 @@ def main():
         state = train_loop.init_state(params["trainable"], opt)
         state = ckpt.restore(args.trained, state)
         params["trainable"] = state["params"]
+    if args.int8_sam:
+        from flmm_tpu.models.frozen.grounding import quantize_frozen_sam
+
+        params = quantize_frozen_sam(params)
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     from flmm_tpu.registry import FAMILY_TEMPLATES
