@@ -67,6 +67,10 @@ def parse_args():
     p.add_argument("--n-model", type=int, default=1,
                    help="model-parallel axis size")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "pods (TPU slices over DCN); single-host runs skip "
+                        "it")
     return p.parse_args()
 
 
@@ -205,6 +209,13 @@ def real_stream(args, cfg, steps):
 
 def main():
     args = parse_args()
+    if args.multihost:
+        # multi-host pod: one process per host; coordinator/address come
+        # from the TPU environment (the NCCL/DeepSpeed launcher equivalent)
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     from flmm_tpu.parallel import mesh as mesh_lib
     from flmm_tpu.registry import get_config, get_model
     from flmm_tpu.train import checkpoint as ckpt
