@@ -64,3 +64,30 @@ def test_pipeline_raw_capture_and_stages2():
         np.testing.assert_allclose(
             np.asarray(got[key]), np.asarray(want[key]), atol=2e-5,
             err_msg=key)
+
+
+def test_pipeline_moe_stack():
+    """Pipeline over a Mixtral-topology (MoE) layer stack."""
+    cfg = DecoderConfig(
+        vocab_size=64, hidden_size=32, num_layers=4, num_heads=4,
+        num_kv_heads=2, head_dim=8, intermediate_size=64,
+        num_experts=4, num_experts_per_tok=2, dtype=jnp.float32,
+    )
+    params = init_params(cfg, jax.random.key(3))
+    rng = np.random.default_rng(5)
+    B, S = 4, 10
+    embeds = embed_tokens(
+        params, cfg, jnp.asarray(rng.integers(0, 64, (B, S)), jnp.int32))
+    mask = jnp.ones((B, S), bool)
+    w = jax.nn.softmax(jnp.asarray(rng.normal(size=(4,)), jnp.float32))
+    want = forward_capture(params, cfg, embeds, mask, 1, 4, layer_weights=w)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    got = jax.jit(
+        lambda p, e, m: pipeline_forward_capture(
+            p, cfg, e, m, 1, 4, mesh=mesh, n_microbatches=2,
+            layer_weights=w)
+    )(params, embeds, mask)
+    for key in ("attn", "hidden", "last_hidden"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(want[key]), atol=2e-5,
+            err_msg=key)
