@@ -33,3 +33,8 @@ REFERENCE = pathlib.Path("/root/reference")
 
 def reference_available() -> bool:
     return REFERENCE.exists()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (subprocess dryruns etc.)")
