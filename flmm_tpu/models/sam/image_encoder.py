@@ -45,6 +45,15 @@ class SamEncoderConfig:
     # blocks run one window per grid step with one-shot softmax.
     flash_global: bool = False
     flash_window: bool = False
+    # global-attention kernel variant (ops/sam_flash.py).  v5e bs8
+    # measurements, ms/call: v1 20.0, v2 19.3, v3 17.8, v4 17.8 -- the op
+    # is exp-throughput-bound (G*S*S = 2.1G transcendentals), so variants
+    # differ only in MXU/VMEM overhead; v3 (augmented-K fused bias matmul,
+    # one-shot f32 softmax) is fastest with exact-f32 softmax.
+    global_kernel: str = "v3"
+    # window kernel variant: v1 (in-kernel one-hot bias matmuls) measured
+    # 11.0 ms/call vs v2 12.9 / v3 14.5 / v4 13.0.
+    window_kernel: str = "v1"
     dtype: Any = jnp.float32
 
     @property
@@ -161,8 +170,12 @@ def _flash_global_attention(
     x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
 ) -> jnp.ndarray:
     """Global attention through the fused Pallas kernel."""
-    from flmm_tpu.ops.sam_flash import sam_global_attention
+    from flmm_tpu.ops import sam_flash
 
+    kernels = {"v1": sam_flash.sam_global_attention,
+               "v2": sam_flash.sam_global_attention_v2,
+               "v3": sam_flash.sam_global_attention_v3,
+               "v4": sam_flash.sam_global_attention_v4}
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
@@ -172,7 +185,8 @@ def _flash_global_attention(
         return t.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(
             B * nh, H * W, hd)
 
-    out = sam_global_attention(
+    kernel = kernels[cfg.global_kernel]
+    out = kernel(
         heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], H
     )
     out = out.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(
@@ -189,8 +203,12 @@ def _flash_window_attention(
     (full 128-row MXU tiles) *before/after* window partitioning -- the
     projections are per-token, so partition order is free.
     """
-    from flmm_tpu.ops.sam_flash import sam_window_attention
+    from flmm_tpu.ops import sam_flash
 
+    wkernel = {"v1": sam_flash.sam_window_attention,
+               "v2": sam_flash.sam_window_attention_v2,
+               "v3": sam_flash.sam_window_attention_v3,
+               "v4": sam_flash.sam_window_attention_v4}[cfg.window_kernel]
     B, H, W, C = x.shape
     ws = cfg.window_size
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -209,7 +227,7 @@ def _flash_window_attention(
         return t.reshape(nw, ws * ws, nh, hd).transpose(0, 2, 1, 3).reshape(
             nw * nh, ws * ws, hd)
 
-    out = sam_window_attention(
+    out = wkernel(
         heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], ws
     )
     out = out.reshape(nw, nh, ws * ws, hd).transpose(0, 2, 1, 3).reshape(

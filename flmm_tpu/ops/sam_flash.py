@@ -108,6 +108,305 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         ).astype(o_ref.dtype)
 
 
+def _window_kernel_v2(q_ref, kt_ref, v_ref, bias_ref, o_ref, *,
+                      group: int):
+    """A group of windows per grid step; bias arrives pre-expanded
+    (tp, tp) per window, keys pre-transposed (hd, tp)."""
+    for w in range(group):
+        s = jnp.dot(q_ref[w], kt_ref[w], preferred_element_type=jnp.float32)
+        s = s + bias_ref[w].astype(jnp.float32)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                    preferred_element_type=jnp.float32)
+        o_ref[w] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def sam_window_attention_v2(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v2: the decomposed rel-pos bias (plus the
+    -inf padding-column mask) is expanded to a dense (G, tp, tp) bf16 tensor
+    by XLA *outside* the kernel -- for the 14x14 windows the one-hot
+    selection matmuls of v1 contract over K=14, the worst possible MXU
+    shape, and cost ~4x the actual attention matmuls.  Dense bias is ~2
+    extra HBM passes instead.  Keys are delivered pre-transposed; q is
+    pre-scaled.
+
+    Same contract as :func:`sam_window_attention`.
+    """
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32)
+    # (G, y, x, yk, xk) -> (G, T, T) row-major over the key grid, padded
+    # with -inf key columns so the softmax ignores them
+    bias = (bias_h[:, :, :, :, None] + bias_w[:, :, :, None, :]).reshape(
+        G, T, T)
+    bias = jnp.pad(bias, ((0, 0), (0, tp - T), (0, tp - T)),
+                   constant_values=-1e30)
+    bias = bias.astype(jnp.bfloat16)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, tp - T), (0, 0)))
+
+    qp = pad((q.astype(jnp.float32) * scale).astype(q.dtype))
+    kt = jnp.swapaxes(pad(k), 1, 2)  # (G, hd, tp)
+    vp = pad(v)
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(_window_kernel_v2, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, hd, tp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, tp), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(qp, kt, vp, bias)
+    return out[:, :T]
+
+
+def _window_kernel_v4(a_ref, b_ref, v_ref, o_ref, *, group: int):
+    """Unrolled per-window loop (faster than batched dot_general on
+    Mosaic) with the v4 economies: augmented-K fused scores+bias, bf16
+    scores, matmul-fused softmax denominator."""
+    for w in range(group):
+        s = jnp.dot(a_ref[w], b_ref[w],
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        ol = jnp.dot(p, v_ref[w], preferred_element_type=jnp.float32)
+        o_ref[w] = (ol[:, :-1] / jnp.maximum(ol[:, -1:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def sam_window_attention_v4(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v4 (see :func:`_window_kernel_v4`).
+    Same contract as :func:`sam_window_attention`."""
+    return _window_attention_augmented(
+        q, k, v, rel_pos_h, rel_pos_w, side, interpret=interpret,
+        group=group, kernel_fn=_window_kernel_v4)
+
+
+def _window_kernel_v5(a_ref, b_ref, v_ref, o_ref, *, group: int):
+    """Software-pipelined unrolled loop: window w+1's score matmul (MXU)
+    is issued before window w's softmax (VPU), so the two units overlap
+    instead of serialising within each iteration."""
+
+    def score(w):
+        return jnp.dot(a_ref[w], b_ref[w],
+                       preferred_element_type=jnp.float32)
+
+    s_next = score(0)
+    for w in range(group):
+        s = s_next
+        if w + 1 < group:
+            s_next = score(w + 1)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        ol = jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                     preferred_element_type=jnp.float32)
+        o_ref[w] = (ol[:, :-1] / jnp.maximum(ol[:, -1:], 1e-30)).astype(
+            o_ref.dtype)
+
+
+def sam_window_attention_v5(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v5: v4's augmented-K operands with a
+    software-pipelined kernel body.  Same contract as
+    :func:`sam_window_attention`."""
+    return _window_attention_augmented(
+        q, k, v, rel_pos_h, rel_pos_w, side, interpret=interpret,
+        group=group, kernel_fn=_window_kernel_v5)
+
+
+def _window_attention_augmented(
+    q, k, v, rel_pos_h, rel_pos_w, side, interpret, group, kernel_fn,
+):
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    ones = jnp.ones((G, T, 1), q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype), ones], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, tp - T), (0, kp - ka - 1)))
+
+    kt = jnp.swapaxes(k, 1, 2)
+    j = jnp.arange(T)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, T))
+    maskrow = jnp.zeros((G, 1, T), q.dtype)
+    b = jnp.concatenate([kt, sel, maskrow], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka - 1), (0, tp - T)))
+    if tp > T:
+        pen = jnp.concatenate([
+            jnp.zeros((G, ka, tp - T), q.dtype),
+            jnp.full((G, 1, tp - T), -1e4, q.dtype),
+            jnp.zeros((G, kp - ka - 1, tp - T), q.dtype)], axis=1)
+        b = b.at[:, :, T:].set(pen)
+
+    va = jnp.concatenate([v, jnp.ones((G, T, 1), v.dtype)], axis=-1)
+    va = jnp.pad(va, ((0, 0), (0, tp - T), (0, 0)))
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(kernel_fn, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, kp, tp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd + 1), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, va)
+    return out[:, :T]
+
+
+def _window_kernel_v3(a_ref, b_ref, v_ref, o_ref):
+    """Batched one-shot softmax over a group of windows.
+
+    ``a`` = [q*scale | bias_h | bias_w] and ``b`` = [k^T ; sel_h ; sel_w]
+    concatenated along the contraction dim (zero-padded to 128), so scores
+    *and* the decomposed rel-pos bias come out of ONE batched matmul --
+    K=hd+2*side stays within a single 128-wide MXU K-tile for 14x14
+    windows, halving the MXU passes vs separate bias matmuls.  Padded key
+    columns carry a -1e30 contribution via the sel columns of ``a``/``b``
+    (see builder), padded q rows are sliced off outside.
+    """
+    a = a_ref[...]
+    b = b_ref[...]
+    s = jax.lax.dot_general(
+        a, b, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)  # (group, tp, tp)
+    m = s.max(axis=2, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=2, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[...], (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+    o_ref[...] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def sam_window_attention_v3(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention via a single augmented-K matmul per
+    window group (see :func:`_window_kernel_v3`).  Same contract as
+    :func:`sam_window_attention`."""
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    ka = hd + 2 * side  # augmented contraction width
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # a: (G, tp, kp) = [q*scale | bias_h | bias_w | pad-flag | 0...]
+    # the pad-flag column (=1 for every real q row) pairs with a -1e30 row
+    # in b at padded key columns, masking them inside the fused matmul
+    ones = jnp.ones((G, T, 1), q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype), ones], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, tp - T), (0, kp - ka - 1)))
+
+    # b: (G, kp, tp) = [k^T ; sel_h ; sel_w ; pad-mask row ; 0...]
+    kt = jnp.swapaxes(k, 1, 2)  # (G, hd, T)
+    j = jnp.arange(T)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, T))
+    maskrow = jnp.zeros((G, 1, T), q.dtype)  # real keys: no penalty
+    b = jnp.concatenate([kt, sel, maskrow], axis=1)  # (G, ka+1, T)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka - 1), (0, tp - T)))
+    if tp > T:  # padded key columns: -1e30 via the pad-flag lane
+        pen = jnp.concatenate([
+            jnp.zeros((G, ka, tp - T), q.dtype),
+            jnp.full((G, 1, tp - T), -1e30, q.dtype),
+            jnp.zeros((G, kp - ka - 1, tp - T), q.dtype)], axis=1)
+        b = b.at[:, :, T:].set(pen)
+
+    vp = jnp.pad(v, ((0, 0), (0, tp - T), (0, 0)))
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    out = pl.pallas_call(
+        _window_kernel_v3,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, kp, tp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, vp)
+    return out[:, :T]
+
+
 def sam_window_attention(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
@@ -164,6 +463,236 @@ def sam_window_attention(
         interpret=interpret,
     )(qp, kp, vp, bh, bw)
     return out[:, :T]
+
+
+def _oneshot_kernel(q_ref, kt_ref, v_ref, bh_ref, bw_ref, selh_ref,
+                    selw_ref, o_ref, *, bias_mode: str, side: int):
+    """One (g, i) step: full-row softmax over all S keys at once.
+
+    ``q`` arrives pre-scaled in f32 then cast (one extra bf16 rounding,
+    same order as storing q itself).  ``kt`` is (hd, S) -- pre-transposed
+    outside so the kernel never relayouts.  The decomposed rel-pos bias is
+    expanded either with precomputed one-hot selection matmuls (MXU) or a
+    reshape-broadcast add (VPU).
+    """
+    q = q_ref[0]
+    s = jnp.dot(q, kt_ref[0], preferred_element_type=jnp.float32)
+    if bias_mode == "matmul":
+        s = s + jnp.dot(bh_ref[0], selh_ref[...],
+                        preferred_element_type=jnp.float32)
+        s = s + jnp.dot(bw_ref[0], selw_ref[...],
+                        preferred_element_type=jnp.float32)
+    else:  # broadcast: s rows are (yk, xk) row-major over the key grid
+        bq = s.shape[0]
+        s3 = s.reshape(bq, s.shape[1] // side, side)
+        s3 = s3 + bh_ref[0].astype(jnp.float32)[:, :, None]
+        s3 = s3 + bw_ref[0].astype(jnp.float32)[:, None, :]
+        s = s3.reshape(bq, s.shape[1])
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def sam_global_attention_v2(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False,
+    block_q: int = 256, bias_mode: str = "matmul",
+) -> jnp.ndarray:
+    """Rewritten global ViTDet attention: one-shot softmax over the full
+    key row (S f32 scores fit VMEM for SAM's S=4096), pre-transposed keys,
+    q pre-scaled, selection matrices hoisted out of the kernel.
+
+    Same contract as :func:`sam_global_attention`.
+    """
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_h = bias_h.astype(jnp.bfloat16)
+    bias_w = bias_w.astype(jnp.bfloat16)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    kt = jnp.swapaxes(k, 1, 2)  # (G, hd, S): XLA transpose, once
+    # one-hot selection matrices over the full key row (shared across g,
+    # index map is constant so Mosaic keeps them resident)
+    j = jnp.arange(S)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+
+    kernel = functools.partial(_oneshot_kernel, bias_mode=bias_mode,
+                               side=side)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, hd, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, block_q, side), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, block_q, side), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((side, S), lambda g, i: (0, 0)),
+            pl.BlockSpec((side, S), lambda g, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(qs, kt, v, bias_h, bias_w, selh, selw)
+    return out
+
+
+def _global_kernel_v4(a_ref, b_ref, v_ref, o_ref):
+    """v3 + two VMEM-pass cuts: scores stored bf16 (MXU still accumulates
+    f32 internally) and the softmax denominator comes out of the PV matmul
+    via a ones-column appended to v (l = p @ 1), removing the separate sum
+    pass over the (block_q, S) tensor."""
+    # Mosaic requires 32-bit matmul accumulation; cast once, then every
+    # softmax pass runs on half-width bf16
+    s = jnp.dot(a_ref[0], b_ref[0],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)  # bf16 in, bf16 out
+    ol = jnp.dot(p, v_ref[0], preferred_element_type=jnp.float32)
+    o = ol[:, :-1]
+    l = ol[:, -1:]
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def sam_global_attention_v4(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 256,
+) -> jnp.ndarray:
+    """Global ViTDet attention, v4: augmented-K fused scores+bias matmul
+    (v3) with bf16 scores and matmul-fused softmax denominator.  Same
+    contract as :func:`sam_global_attention`; softmax weights carry bf16
+    (~0.4%) rounding, in line with the bf16 tower itself."""
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, kp - ka)))
+
+    kt = jnp.swapaxes(k, 1, 2)  # (G, hd, S)
+    j = jnp.arange(S)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, S))
+    b = jnp.concatenate([kt, sel], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka), (0, 0)))
+
+    # v with a ones-column: PV matmul emits [o | l]
+    va = jnp.concatenate([v, jnp.ones((G, S, 1), v.dtype)], axis=-1)
+
+    out = pl.pallas_call(
+        _global_kernel_v4,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd + 1), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, va)
+    return out
+
+
+def _global_kernel_v3(a_ref, b_ref, v_ref, o_ref):
+    """One (g, i) step: scores + decomposed bias from ONE augmented-K
+    matmul (see _window_kernel_v3), one-shot softmax over the full row."""
+    s = jnp.dot(a_ref[0], b_ref[0], preferred_element_type=jnp.float32)
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = p.sum(axis=1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def sam_global_attention_v3(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 256,
+) -> jnp.ndarray:
+    """Global ViTDet attention: augmented-K fused scores+bias matmul,
+    one-shot full-row softmax.  Same contract as
+    :func:`sam_global_attention`."""
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, kp - ka)))
+
+    kt = jnp.swapaxes(k, 1, 2)  # (G, hd, S)
+    j = jnp.arange(S)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, S))
+    b = jnp.concatenate([kt, sel], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka), (0, 0)))
+
+    out = pl.pallas_call(
+        _global_kernel_v3,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, v)
+    return out
 
 
 def sam_global_attention(

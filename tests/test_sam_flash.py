@@ -61,3 +61,127 @@ def test_sam_window_flash_parity_interpret():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_sam_flash_v2_parity_interpret():
+    from flmm_tpu.ops.sam_flash import sam_global_attention_v2
+
+    rng = np.random.default_rng(1)
+    side, hd, G = 16, 32, 2  # S = 256
+    S = side * side
+    q = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.3)
+    rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    want = reference(q, k, v, rph, rpw, side)
+    for bias_mode in ("matmul", "broadcast"):
+        got = sam_global_attention_v2(
+            q, k, v, rph, rpw, side, interpret=True, block_q=64,
+            bias_mode=bias_mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, err_msg=bias_mode)
+        corr = np.corrcoef(np.asarray(got).ravel(),
+                           np.asarray(want).ravel())[0, 1]
+        assert corr > 0.9999, bias_mode
+
+
+def test_sam_window_flash_v2_parity_interpret():
+    from flmm_tpu.ops.sam_flash import sam_window_attention_v2
+
+    rng = np.random.default_rng(3)
+    side, hd, G = 7, 16, 3  # T = 49 (odd size exercises padding)
+    T = side * side
+    q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    rph = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32) * 0.1)
+    rpw = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32) * 0.1)
+    got = sam_window_attention_v2(q, k, v, rph, rpw, side, interpret=True)
+    want = reference(q, k, v, rph, rpw, side)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_sam_flash_v3_parity_interpret():
+    from flmm_tpu.ops.sam_flash import (
+        sam_global_attention_v3, sam_window_attention_v3,
+    )
+
+    rng = np.random.default_rng(4)
+    # global (square S) and window (odd side exercises tp/kp padding)
+    for fn, side, hd, G in ((sam_global_attention_v3, 16, 32, 2),
+                            (sam_window_attention_v3, 7, 16, 3)):
+        T = side * side
+        q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        got = fn(q, k, v, rph, rpw, side, interpret=True)
+        want = reference(q, k, v, rph, rpw, side)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, err_msg=fn.__name__)
+        corr = np.corrcoef(np.asarray(got).ravel(),
+                           np.asarray(want).ravel())[0, 1]
+        assert corr > 0.9999, fn.__name__
+
+
+def test_sam_flash_v4_parity_interpret():
+    from flmm_tpu.ops.sam_flash import (
+        sam_global_attention_v4, sam_window_attention_v4,
+    )
+
+    rng = np.random.default_rng(5)
+    for fn, side, hd, G in ((sam_global_attention_v4, 16, 32, 2),
+                            (sam_window_attention_v4, 7, 16, 3)):
+        T = side * side
+        q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3, jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3, jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3, jnp.bfloat16)
+        rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1, jnp.bfloat16)
+        rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1, jnp.bfloat16)
+        got = fn(q, k, v, rph, rpw, side, interpret=True).astype(jnp.float32)
+        want = reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                         v.astype(jnp.float32), rph.astype(jnp.float32),
+                         rpw.astype(jnp.float32), side)
+        # bf16 score tensor: coarser than v1-v3 but bounded
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=4e-2, err_msg=fn.__name__)
+        corr = np.corrcoef(np.asarray(got).ravel(),
+                           np.asarray(want).ravel())[0, 1]
+        assert corr > 0.999, fn.__name__
+
+
+def test_sam_flash_v5_window_parity_interpret():
+    from flmm_tpu.ops.sam_flash import sam_window_attention_v5
+
+    rng = np.random.default_rng(6)
+    side, hd, G = 7, 16, 4
+    T = side * side
+    q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32) * 0.3)
+    rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+        np.float32) * 0.1)
+    got = sam_window_attention_v5(q, k, v, rph, rpw, side, interpret=True,
+                                  group=2)
+    want = reference(q, k, v, rph, rpw, side)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
