@@ -39,17 +39,25 @@ def sam_vit_l(dtype=jnp.bfloat16, flash: bool = True) -> SamRefinerConfig:
     )
 
 
-def deepseek_vl_1_3b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
+def deepseek_vl_1_3b(dtype=jnp.bfloat16,
+                     img_start: int = 128) -> DeepseekVLGroundingConfig:
     """DeepSeek-VL-1.3B-chat grounding stack.
 
     LLM dims per deepseek-ai/deepseek-vl-1.3b-chat (DeepSeek-LLM 1.3B:
     24 layers x 16 heads, hidden 2048, ffn 5504, vocab 102400); tower is
     SigLIP-L/16-384 (reference frozen_deepseek_vl.py:36-37).
+
+    ``img_start``: static position of the image block in the packed
+    sequence.  The raw deepseek prompt puts it at 5; the default 128
+    assumes the batch builders' ``align_image_block=128`` masked padding,
+    which turns on the fused flash-capture decoder kernel (no ``S x S``
+    transients).  Pass the tokenizer-derived value to opt out.
     """
     llm = DecoderConfig(
         vocab_size=102400, hidden_size=2048, num_layers=24, num_heads=16,
         num_kv_heads=16, head_dim=128, intermediate_size=5504,
         rope_theta=10000.0, rms_eps=1e-6, dtype=dtype,
+        use_flash_capture=img_start % 128 == 0,
     )
     vision = ViTConfig(
         hidden_size=1024, num_layers=24, num_heads=16, patch_size=16,
@@ -62,13 +70,15 @@ def deepseek_vl_1_3b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
         sam=sam_vit_l(dtype=dtype),
         projector_depth=2,
         # prompt: BOS + 'User: ' prefix tokens then 576 placeholders; the
-        # data pipeline computes the true offset and must agree.
-        img_start=5, num_img_tokens=576, clip_shape=24,
+        # batch builders assert the (aligned) tokenizer-derived offset
+        # equals this value (collate.BatchSpec.expected_img_start).
+        img_start=img_start, num_img_tokens=576, clip_shape=24,
         dtype=dtype,
     )
 
 
-def deepseek_vl_7b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
+def deepseek_vl_7b(dtype=jnp.bfloat16,
+                   img_start: int = 128) -> DeepseekVLGroundingConfig:
     """DeepSeek-VL-7B-chat grounding stack: hybrid tower (SAM-B high-res @
     1024 + SigLIP-L/16-384 low-res, reference deepseek_vl/models/
     clip_encoder.py:126-203) with the split mlp_gelu projector."""
@@ -78,13 +88,14 @@ def deepseek_vl_7b(dtype=jnp.bfloat16) -> DeepseekVLGroundingConfig:
         vocab_size=102400, hidden_size=4096, num_layers=30, num_heads=32,
         num_kv_heads=32, head_dim=128, intermediate_size=11008,
         rope_theta=10000.0, rms_eps=1e-6, dtype=dtype,
+        use_flash_capture=img_start % 128 == 0,
     )
     vision = ViTConfig(
         hidden_size=1024, num_layers=24, num_heads=16, patch_size=16,
         image_size=384, mlp_dim=4096, use_class_token=False,
         act="gelu", ln_eps=1e-6, final_norm=True, dtype=dtype,
     )
-    base = deepseek_vl_1_3b(dtype)
+    base = deepseek_vl_1_3b(dtype, img_start=img_start)
     import dataclasses
 
     hybrid = SamTowerConfig(dtype=dtype)

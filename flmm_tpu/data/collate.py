@@ -36,6 +36,10 @@ class BatchSpec:
     # (128 for the Pallas flash-capture kernel); masked pads + explicit
     # position ids keep RoPE semantics identical to the unpadded sequence
     align_image_block: int | None = None
+    # model config's static img_start: asserted against the (aligned)
+    # tokenizer-derived per-sample value so a template/tokenizer drift can
+    # never silently scatter image embeddings into wrong positions
+    expected_img_start: int | None = None
 
 
 def _nearest_resize(mask: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
@@ -110,6 +114,12 @@ def build_batch(samples: list[dict], spec: BatchSpec) -> dict:
         align_pad = (a - samples[0]["img_start"] % a) % a
 
     for b, s in enumerate(samples):
+        if spec.expected_img_start is not None:
+            got = s["img_start"] + align_pad
+            assert got == spec.expected_img_start, (
+                f"sample img_start {s['img_start']} (+align {align_pad}) = "
+                f"{got} != config img_start {spec.expected_img_start}; "
+                "prompt template/tokenizer drifted from the model config")
         full_ids = s["input_ids"]
         full_mids = s["mask_ids"]
         span_shift = 0

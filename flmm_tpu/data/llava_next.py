@@ -264,6 +264,11 @@ def build_anyres_batch(samples: list[dict], spec: BatchSpec,
                     full_mids[img_start:]])
                 span_shift = pad_n
                 img_start += pad_n
+        if spec.expected_img_start is not None:
+            assert img_start == spec.expected_img_start, (
+                f"sample img_start {img_start} != config img_start "
+                f"{spec.expected_img_start}; prompt template/tokenizer "
+                "drifted from the model config")
         ids = full_ids[:S]
         n = len(ids)
         out["input_ids"][b, :n] = ids

@@ -101,6 +101,11 @@ def build_mgm_batch(samples: list[dict], spec: BatchSpec,
     }
     metas, sam_hws, infos = [], [], []
     for b, s in enumerate(samples):
+        if spec.expected_img_start is not None and "img_start" in s:
+            assert s["img_start"] == spec.expected_img_start, (
+                f"sample img_start {s['img_start']} != config img_start "
+                f"{spec.expected_img_start}; prompt template/tokenizer "
+                "drifted from the model config")
         ids = s["input_ids"][:S]
         n = len(ids)
         out["input_ids"][b, :n] = ids

@@ -33,8 +33,8 @@ class PNGDataset:
         panoptic_png_path: str,
         image_path: str,
         tokenizer,
-        prompt_spec: tok.PromptSpec,
-        image_token_id: int,
+        prompt_spec: "tok.PromptSpec | tok.RenderedPrompt",
+        image_token_id: int | None = None,
         open_fn: Callable = remote_io.open_any,
     ):
         with open_fn(json_file, "r") as f:
@@ -47,11 +47,17 @@ class PNGDataset:
         self.panoptic_png_path = panoptic_png_path
         self.image_path = image_path
         self.tokenizer = tokenizer
-        self.prompt_ids = tok.encode_prompt(tokenizer, prompt_spec)
-        self.image_token_id = image_token_id
-        self.img_start, self.num_img_tokens = tok.find_image_block(
-            self.prompt_ids, image_token_id
-        )
+        if isinstance(prompt_spec, tok.RenderedPrompt):
+            self.prompt_ids = list(prompt_spec.ids)
+            self.image_token_id = prompt_spec.image_token_id
+            self.img_start = prompt_spec.img_start
+            self.num_img_tokens = prompt_spec.n_img
+        else:
+            self.prompt_ids = tok.encode_prompt(tokenizer, prompt_spec)
+            self.image_token_id = image_token_id
+            self.img_start, self.num_img_tokens = tok.find_image_block(
+                self.prompt_ids, image_token_id
+            )
 
     def __len__(self) -> int:
         return len(self.data)

@@ -47,6 +47,15 @@ def _target_hw(cfg: ProcessorConfig, w: int, h: int) -> tuple[int, int]:
         if h > w:
             return cfg.size, int(w * cfg.size / h)
         return int(h * cfg.size / w), cfg.size
+    if cfg.size_rule == "hpt15":
+        # reference hpt_processors.py:138-150: scale by the smaller of the
+        # (target/current) ratios so the result fits the target box, with
+        # int() truncation on the free dim; the subsequent pad (to
+        # max(h, w), centred, mean colour) coincides with the square pad
+        # below for square targets
+        if cfg.size / h < cfg.size / w:
+            return cfg.size, int(w * cfg.size / h)
+        return int(h * cfg.size / w), cfg.size
     raise ValueError(cfg.size_rule)
 
 

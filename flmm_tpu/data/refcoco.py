@@ -99,33 +99,48 @@ class RefCocoDataset:
 def refcoco_to_sample(
     item: dict,
     tokenizer,
-    prompt_spec: tok.PromptSpec,
-    image_token_id: int,
+    prompt_spec: "tok.PromptSpec | tok.RenderedPrompt",
+    image_token_id: int | None = None,
     concat: bool = True,
     rng: np.random.Generator | None = None,
     max_expressions: int | None = None,
+    subsample: bool = False,
 ) -> list[dict]:
     """Convert a grouped RefCOCO item into PNG-style samples.
 
     ``concat=True`` joins all expressions with '.' separators, one sample
     per image (reference transform_concat:109-125); otherwise one sample
     per expression (transform_split:99).
+
+    With ``max_expressions`` set, concat mode *chunks* the expression list
+    (repeating the image with the next group) so every expression is scored
+    exactly once, matching the reference's all-expressions concat eval
+    (transforms.py:109-125).  ``subsample=True`` restores the training-time
+    behaviour of randomly keeping ``max_expressions`` of them.
     """
-    prompt_ids = tok.encode_prompt(tokenizer, prompt_spec)
-    img_start, n_img = tok.find_image_block(prompt_ids, image_token_id)
+    if isinstance(prompt_spec, tok.RenderedPrompt):
+        prompt_ids = list(prompt_spec.ids)
+        img_start, n_img = prompt_spec.img_start, prompt_spec.n_img
+    else:
+        prompt_ids = tok.encode_prompt(tokenizer, prompt_spec)
+        img_start, n_img = tok.find_image_block(prompt_ids, image_token_id)
 
     exprs = list(item["expressions"])
     masks = list(item["masks"])
-    if max_expressions is not None and len(exprs) > max_expressions:
+    if subsample and max_expressions is not None \
+            and len(exprs) > max_expressions:
         idx = (rng or np.random.default_rng()).choice(
             len(exprs), max_expressions, replace=False
         )
         exprs = [exprs[i] for i in idx]
         masks = [masks[i] for i in idx]
 
-    groups = [list(zip(exprs, masks))] if concat else [
-        [(e, m)] for e, m in zip(exprs, masks)
-    ]
+    if concat:
+        pairs = list(zip(exprs, masks))
+        chunk = max_expressions or len(pairs) or 1
+        groups = [pairs[i:i + chunk] for i in range(0, len(pairs), chunk)]
+    else:
+        groups = [[(e, m)] for e, m in zip(exprs, masks)]
     out = []
     for group in groups:
         segments = []

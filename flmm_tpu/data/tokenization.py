@@ -74,6 +74,62 @@ def encode_prompt(tokenizer, spec: PromptSpec) -> list[int]:
     return list(tokenizer.encode(spec.render(), add_special_tokens=True))
 
 
+@dataclasses.dataclass(frozen=True)
+class RenderedPrompt:
+    """A fully-tokenised multimodal prompt with a located image block."""
+    ids: list
+    img_start: int
+    n_img: int
+    image_token_id: int
+    template: dict
+
+
+def encode_multimodal_prompt(
+    tokenizer,
+    template: dict,
+    prompt: str,
+    image_token: str,
+    n_img: int,
+    image_token_id: int | None = None,
+    system: str | None = None,
+) -> RenderedPrompt:
+    """Tokenise an instruction prompt containing ONE ``image_token``
+    occurrence, expanding it to ``n_img`` placeholder ids.
+
+    Mirrors the reference's two conventions at once:
+
+    * DeepSeek-VL repeats a literal tokenizer token 576 times in the prompt
+      string (configs/deepseek_vl/...py:55) -- for tokenizers where
+      ``image_token`` maps to a single id this produces identical ids;
+    * LLaVA/MGM/HPT use ``<image>`` + ``tokenizer_image_token`` which
+      *splits the text on the placeholder* and splices an out-of-vocab
+      index (reference mgm/mm_utils.py, constants.py:8
+      IMAGE_TOKEN_INDEX=-200).  Here the spliced id defaults to 0 (its
+      embedding is overwritten by projected image features at
+      ``img_start``), so vicuna-style tokenizers never see the placeholder
+      string and cannot fragment it.
+
+    Returns a :class:`RenderedPrompt` whose ``img_start`` is derived from
+    the actual tokenisation -- the single source of truth the batch
+    builders assert against the model config.
+    """
+    spec = PromptSpec(template, prompt, system=system)
+    rendered = spec.render()
+    if image_token not in rendered:
+        raise ValueError(f"prompt does not contain {image_token!r}")
+    pre, _, post = rendered.partition(image_token)
+    pre_ids = list(tokenizer.encode(pre, add_special_tokens=True))
+    post_ids = list(tokenizer.encode(post, add_special_tokens=False))
+    if image_token_id is None:
+        enc = tokenizer.encode(image_token, add_special_tokens=False)
+        image_token_id = enc[-1] if len(enc) == 1 else 0
+    ids = pre_ids + [image_token_id] * n_img + post_ids
+    return RenderedPrompt(
+        ids=ids, img_start=len(pre_ids), n_img=n_img,
+        image_token_id=image_token_id, template=template,
+    )
+
+
 def caption_stream(
     tokenizer,
     segments: list[dict],

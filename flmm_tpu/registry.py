@@ -30,6 +30,57 @@ FAMILY_TEMPLATES = {
     "hpt": "internlm2_chat",
 }
 
+# image-placeholder conventions (reference: deepseek configs embed a literal
+# '<image_placeholder>' tokenizer token, configs/deepseek_vl/...py:112; the
+# other families split on '<image>' and splice IMAGE_TOKEN_INDEX, reference
+# mgm/constants.py:8 + mm_utils.tokenizer_image_token)
+FAMILY_IMAGE_TOKENS = {
+    "deepseek_vl": "<image_placeholder>",
+    "llava": "<image>",
+    "llava_next": "<image>",
+    "mgm": "<image>",
+    "hpt": "<image>",
+}
+
+# the released configs' caption prompt (reference configs/*/*.py:48-55);
+# exactly one image-token occurrence, expanded to n_img ids at encode time
+# host-processor resize rule per family (see data/processors._target_hw;
+# reference: VLMImageProcessor for deepseek, CustomLlavaImageProcessor for
+# llava/llava_next, CustomHPT15ImageProcessor fit-box for hpt; mgm has its
+# own crop pipeline in data/mgm.py)
+FAMILY_SIZE_RULES = {
+    "deepseek_vl": "deepseek",
+    "llava": "llava",
+    "llava_next": "llava",
+    "mgm": "llava",
+    "hpt": "hpt15",
+}
+
+FAMILY_PROMPTS = {
+    "deepseek_vl": ("<image_placeholder>"
+                    "Please give me a description of the image."),
+    "llava": "<image>\nPlease give me a description of the image.",
+    "llava_next": "<image>\nPlease give me a description of the image.",
+    "mgm": "<image>\nPlease give me a description of the image.",
+    "hpt": "<image>\nPlease give me a description of the image.",
+}
+
+
+def build_prompt(family: str, tokenizer, n_img: int,
+                 template: str | None = None, prompt: str | None = None,
+                 image_token_id: int | None = None):
+    """Family-correct tokenised prompt (see tokenization.
+    encode_multimodal_prompt).  ``template``/``prompt`` override the
+    released-config defaults; returns a RenderedPrompt whose ``img_start``
+    is tokenizer-derived truth."""
+    from flmm_tpu.data import tokenization as tok
+
+    tpl = tok.TEMPLATES[template or FAMILY_TEMPLATES[family]]
+    return tok.encode_multimodal_prompt(
+        tokenizer, tpl, prompt or FAMILY_PROMPTS[family],
+        FAMILY_IMAGE_TOKENS[family], n_img, image_token_id=image_token_id,
+    )
+
 FAMILIES = {
     "deepseek_vl": Family(
         name="deepseek_vl",
@@ -37,7 +88,9 @@ FAMILIES = {
         batch_builder="standard",
         presets={
             "1_3b": "flmm_tpu.configs.deepseek_vl:deepseek_vl_1_3b",
+            "7b": "flmm_tpu.configs.deepseek_vl:deepseek_vl_7b",
             "tiny": "flmm_tpu.configs.deepseek_vl:tiny",
+            "tiny_hybrid": "flmm_tpu.configs.deepseek_vl:tiny_hybrid",
         },
     ),
     "llava": Family(
@@ -67,6 +120,8 @@ FAMILIES = {
             "gemma_2b": "flmm_tpu.configs.mgm:mgm_gemma_2b",
             "vicuna_7b": "flmm_tpu.configs.mgm:mgm_vicuna_7b",
             "vicuna_7b_hd": "flmm_tpu.configs.mgm:mgm_vicuna_7b_hd",
+            "mistral_7b": "flmm_tpu.configs.mgm:mgm_mistral_7b",
+            "mixtral_8x7b": "flmm_tpu.configs.mgm:mgm_mixtral_8x7b",
             "tiny": "flmm_tpu.configs.mgm:tiny_mgm",
         },
     ),
@@ -89,6 +144,42 @@ def _import(path: str) -> Any:
     mod, _, attr = path.partition(":")
     m = importlib.import_module(mod)
     return getattr(m, attr) if attr else m
+
+
+def resolve_family_setup(family: str, preset: str, tokenizer,
+                         template: str | None = None,
+                         prompt: str | None = None, **cfg_kwargs):
+    """Mutually-consistent (config, RenderedPrompt, batch-spec kwargs).
+
+    Derives ``img_start`` from the actual tokenisation of the family
+    prompt (plus 128-alignment padding when the preset uses the
+    flash-capture decoder kernel), rebuilds the config with that value,
+    and returns the ``align_image_block``/``expected_img_start`` kwargs
+    every batch builder needs so the static model offset and the data
+    pipeline can never drift apart (the reference trusts convention here;
+    we assert it).
+    """
+    cfg = get_config(family, preset, **cfg_kwargs)
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    rp = build_prompt(family, tokenizer, base.num_img_tokens,
+                      template=template, prompt=prompt)
+    align = 128 if getattr(base.llm, "use_flash_capture", False) else None
+    derived = rp.img_start
+    if align:
+        derived += (align - derived % align) % align
+    if derived != base.img_start:
+        cfg = get_config(family, preset, img_start=derived, **cfg_kwargs)
+        base = cfg.base if hasattr(cfg, "base") else cfg
+        align = (128 if getattr(base.llm, "use_flash_capture", False)
+                 else None)
+    from flmm_tpu.data.processors import ProcessorConfig
+
+    spec_kwargs = {"align_image_block": align,
+                   "expected_img_start": base.img_start,
+                   "processor": ProcessorConfig(
+                       size=base.input_size,
+                       size_rule=FAMILY_SIZE_RULES[family])}
+    return cfg, rp, spec_kwargs
 
 
 def get_model(family: str):

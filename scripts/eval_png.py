@@ -45,6 +45,11 @@ def main():
                    help="optional seq-length buckets (pad per batch)")
     p.add_argument("--max-masks", type=int, default=16)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--sharded-eval", action="store_true",
+                   help="data-parallel eval over all devices with on-device"
+                        " psum metric reduction; reports overall AA(=mIoU)/"
+                        "aAcc@0.5 in the SAM frame (per-split metrics need "
+                        "the host scorer)")
     p.add_argument("--int8-sam", action="store_true",
                    help="W8A8-quantize the frozen SAM encoder (see "
                         "ops/quant.py)")
@@ -52,17 +57,17 @@ def main():
 
     from transformers import AutoTokenizer
 
-    from flmm_tpu.convert import load as load_mod
-    from flmm_tpu.data import tokenization as tok
     from flmm_tpu.data.collate import BatchSpec
     from flmm_tpu.data.png import PNGDataset
     from flmm_tpu.data.processors import ProcessorConfig
     from flmm_tpu.evalsuite.metrics import PNGAccumulator
     from flmm_tpu.evalsuite.runner import png_score, run_eval
-    from flmm_tpu.registry import get_batch_builder, get_config, get_model
+    from flmm_tpu.registry import get_model, resolve_family_setup
     from flmm_tpu.train import checkpoint as ckpt
 
-    cfg = get_config(args.family, args.preset)
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    cfg, rendered_prompt, spec_kwargs = resolve_family_setup(
+        args.family, args.preset, tokenizer, template=args.template)
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
@@ -86,25 +91,13 @@ def main():
 
         params = quantize_frozen_sam(params)
 
-    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    from flmm_tpu.registry import FAMILY_TEMPLATES
-
-    template = tok.TEMPLATES[
-        getattr(args, "template", None) or FAMILY_TEMPLATES[args.family]]
-    prompt = ("<image_placeholder>" * base.num_img_tokens
-              + "Please give me a description of the image.")
-    spec = tok.PromptSpec(template, prompt)
-    image_token_id = tokenizer.encode(
-        "<image_placeholder>", add_special_tokens=False)[-1]
-
     root = pathlib.Path(args.data_root)
     ds = PNGDataset(
         json_file=str(root / "annotations/png_coco_val2017.json"),
         panoptic_json_file=str(root / "annotations/panoptic_val2017.json"),
         panoptic_png_path=str(root / "annotations/panoptic_val2017"),
         image_path=str(root / "val2017"),
-        tokenizer=tokenizer, prompt_spec=spec,
-        image_token_id=image_token_id,
+        tokenizer=tokenizer, prompt_spec=rendered_prompt,
     )
     n = min(len(ds), 100) if args.debug else len(ds)
 
@@ -112,8 +105,7 @@ def main():
 
     hc, wc = get_coarse_hw(cfg)
     bspec = BatchSpec(seq_len=args.seq_len, max_masks=args.max_masks,
-                      coarse_hw=(hc, wc),
-                      processor=ProcessorConfig(size=base.input_size))
+                      coarse_hw=(hc, wc), **spec_kwargs)
 
     @jax.jit
     def predict(batch):
@@ -126,6 +118,21 @@ def main():
     build = __import__("flmm_tpu.registry",
                        fromlist=["get_batch_builder"]).get_batch_builder(
         args.family)
+    if args.sharded_eval:
+        from flmm_tpu.evalsuite.sharded import run_eval_sharded
+        from flmm_tpu.parallel import mesh as mesh_lib
+
+        n_data = max(d for d in range(1, len(jax.devices()) + 1)
+                     if args.batch_size % d == 0)
+        mesh = mesh_lib.make_mesh(n_data=n_data, n_model=1)
+        out = run_eval_sharded(
+            (ds[i] for i in range(n)), params,
+            lambda p, b: model.forward(p, cfg, b),
+            bspec, args.batch_size, mesh, batch_builder=build)
+        # AA with a ->0 threshold step integrates to mean IoU
+        out["AA"] = out.pop("mIoU")
+        print(json.dumps(out, indent=2))
+        return
     acc = run_eval((ds[i] for i in range(n)), predict_np, bspec,
                    args.batch_size, PNGAccumulator, png_score,
                    seq_len_buckets=tuple(args.seq_buckets)

@@ -64,6 +64,11 @@ def main():
     p.add_argument("--concat", action="store_true",
                    help="one pass per image instead of per expression")
     p.add_argument("--debug", action="store_true", help="first 100 samples")
+    p.add_argument("--sharded-eval", action="store_true",
+                   help="data-parallel eval over all devices with on-device"
+                        " psum metric reduction (evalsuite/sharded.py); "
+                        "scores in the SAM frame instead of original "
+                        "resolution")
     p.add_argument("--int8-sam", action="store_true",
                    help="W8A8-quantize the frozen SAM encoder (2x MXU / "
                         "half the weight HBM; see ops/quant.py)")
@@ -71,17 +76,19 @@ def main():
 
     from transformers import AutoTokenizer
 
-    from flmm_tpu.convert import load as load_mod
-    from flmm_tpu.data import tokenization as tok
     from flmm_tpu.data.collate import BatchSpec
     from flmm_tpu.data.processors import ProcessorConfig
     from flmm_tpu.data.refcoco import RefCocoDataset, refcoco_to_sample
     from flmm_tpu.evalsuite.metrics import RefSegAccumulator
     from flmm_tpu.evalsuite.runner import refcoco_score, run_eval
-    from flmm_tpu.registry import get_batch_builder, get_config, get_model
+    from flmm_tpu.registry import get_batch_builder, get_model
     from flmm_tpu.train import checkpoint as ckpt
 
-    cfg = get_config(args.family, args.preset)
+    from flmm_tpu.registry import resolve_family_setup
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    cfg, rendered_prompt, spec_kwargs = resolve_family_setup(
+        args.family, args.preset, tokenizer, template=args.template)
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
@@ -106,23 +113,13 @@ def main():
 
         params = quantize_frozen_sam(params)
 
-    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    from flmm_tpu.registry import FAMILY_TEMPLATES
-
-    template = tok.TEMPLATES[
-        getattr(args, "template", None) or FAMILY_TEMPLATES[args.family]]
-    prompt = ("<image_placeholder>" * base.num_img_tokens
-              + "Please give me a description of the image.")
-    spec = tok.PromptSpec(template, prompt)
-    image_token_id = tokenizer.encode(
-        "<image_placeholder>", add_special_tokens=False)[-1]
+    spec = rendered_prompt
 
     from flmm_tpu.registry import get_coarse_hw
 
     hc, wc = get_coarse_hw(cfg)
     bspec = BatchSpec(seq_len=args.seq_len, max_masks=args.max_masks,
-                      coarse_hw=(hc, wc),
-                      processor=ProcessorConfig(size=base.input_size))
+                      coarse_hw=(hc, wc), **spec_kwargs)
     build = get_batch_builder(args.family)
 
     @jax.jit
@@ -147,17 +144,29 @@ def main():
         def samples():
             for i in range(n):
                 yield from refcoco_to_sample(
-                    ds[i], tokenizer, spec, image_token_id,
+                    ds[i], tokenizer, spec,
                     concat=args.concat,
                     max_expressions=args.max_masks if args.concat else None,
                 )
 
-        acc = run_eval(samples(), predict_np, bspec, args.batch_size,
-                       RefSegAccumulator, refcoco_score,
-                       seq_len_buckets=tuple(args.seq_buckets)
-                       if args.seq_buckets else None,
-                       batch_builder=build)
-        results[f"{name}/{split}"] = acc.results()
+        if args.sharded_eval:
+            from flmm_tpu.evalsuite.sharded import run_eval_sharded
+            from flmm_tpu.parallel import mesh as mesh_lib
+
+            n_data = max(d for d in range(1, len(jax.devices()) + 1)
+                         if args.batch_size % d == 0)
+            mesh = mesh_lib.make_mesh(n_data=n_data, n_model=1)
+            results[f"{name}/{split}"] = run_eval_sharded(
+                samples(), params,
+                lambda p, b: model.forward(p, cfg, b),
+                bspec, args.batch_size, mesh, batch_builder=build)
+        else:
+            acc = run_eval(samples(), predict_np, bspec, args.batch_size,
+                           RefSegAccumulator, refcoco_score,
+                           seq_len_buckets=tuple(args.seq_buckets)
+                           if args.seq_buckets else None,
+                           batch_builder=build)
+            results[f"{name}/{split}"] = acc.results()
         print(json.dumps({f"{name}/{split}": results[f"{name}/{split}"]}),
               flush=True)
     print(json.dumps(results, indent=2))

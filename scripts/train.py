@@ -67,6 +67,16 @@ def parse_args():
     p.add_argument("--n-model", type=int, default=1,
                    help="model-parallel axis size")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--profile", type=int, default=0, metavar="N",
+                   help="capture an XLA trace of N steps (from step 3) "
+                        "into <work-dir>/xplane for XProf/TensorBoard")
+    p.add_argument("--nonfinite-guard", action="store_true",
+                   help="skip optimizer updates when grads are non-finite "
+                        "(optax.apply_if_finite; bf16-era loss-scale "
+                        "replacement)")
+    p.add_argument("--metrics-file", default=None,
+                   help="JSONL metric log path (default "
+                        "<work-dir>/metrics.jsonl)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "pods (TPU slices over DCN); single-host runs skip "
@@ -110,11 +120,10 @@ def synthetic_stream(args, cfg, steps):
         yield b
 
 
-def real_stream(args, cfg, steps):
+def real_stream(args, cfg, steps, rendered_prompt=None, spec_kwargs=None):
     """PNG + RefCOCO/+/g joint stream (reference configs/...:134-167)."""
     from transformers import AutoTokenizer
 
-    from flmm_tpu.data import tokenization as tok
     from flmm_tpu.data.collate import BatchSpec
     from flmm_tpu.data.png import PNGDataset
     from flmm_tpu.data.processors import ProcessorConfig
@@ -123,15 +132,14 @@ def real_stream(args, cfg, steps):
 
     base = cfg.base if hasattr(cfg, "base") else cfg
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    from flmm_tpu.registry import FAMILY_TEMPLATES
+    if rendered_prompt is None:
+        from flmm_tpu.registry import build_prompt
 
-    template = tok.TEMPLATES[
-        getattr(args, "template", None) or FAMILY_TEMPLATES[args.family]]
-    prompt = ("<image_placeholder>" * base.num_img_tokens
-              + "Please give me a description of the image.")
-    spec = tok.PromptSpec(template, prompt)
-    image_token_id = tokenizer.encode(
-        "<image_placeholder>", add_special_tokens=False)[-1]
+        rendered_prompt = build_prompt(
+            args.family, tokenizer, base.num_img_tokens,
+            template=getattr(args, "template", None))
+    spec = rendered_prompt
+    spec_kwargs = spec_kwargs or {}
 
     root = pathlib.Path(args.data_root)
     datasets = [PNGDataset(
@@ -140,7 +148,6 @@ def real_stream(args, cfg, steps):
         panoptic_png_path=str(root / "annotations/panoptic_train2017"),
         image_path=str(root / "train2017"),
         tokenizer=tokenizer, prompt_spec=spec,
-        image_token_id=image_token_id,
     )]
     ref_sets = []
     for name, split_file in (("refcoco", "refs(unc).p"),
@@ -158,10 +165,12 @@ def real_stream(args, cfg, steps):
     from flmm_tpu.registry import get_coarse_hw
 
     hc, wc = get_coarse_hw(cfg)
+    if "processor" not in spec_kwargs:
+        spec_kwargs["processor"] = ProcessorConfig(size=base.input_size)
     bspec = BatchSpec(
         seq_len=args.seq_len, max_masks=args.max_masks,
         coarse_hw=(hc, wc),
-        processor=ProcessorConfig(size=base.input_size),
+        **spec_kwargs,
     )
     build = get_batch_builder(args.family)
 
@@ -182,8 +191,9 @@ def real_stream(args, cfg, steps):
                     return datasets[di][local]
                 ds = ref_sets[di - len(datasets)]
                 return refcoco_to_sample(
-                    ds[local], tokenizer, spec, image_token_id,
+                    ds[local], tokenizer, spec,
                     concat=True, max_expressions=args.max_masks,
+                    subsample=True,
                 )[0]
         raise IndexError(gidx)
 
@@ -221,22 +231,32 @@ def main():
     from flmm_tpu.train import checkpoint as ckpt
     from flmm_tpu.train import loop as train_loop
 
-    cfg = get_config(args.family, args.preset)
+    rendered_prompt = None
+    spec_kwargs = None
+    if args.synthetic or not args.tokenizer:
+        cfg = get_config(args.family, args.preset)
+    else:
+        from transformers import AutoTokenizer
+
+        from flmm_tpu.registry import resolve_family_setup
+
+        cfg, rendered_prompt, spec_kwargs = resolve_family_setup(
+            args.family, args.preset,
+            AutoTokenizer.from_pretrained(args.tokenizer),
+            template=args.template)
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
 
     if args.checkpoint:
         from flmm_tpu.convert import load as load_mod
+        from flmm_tpu.registry import get_loader
 
-        loaders = {
-            "deepseek_vl": load_mod.deepseek_vl_frozen,
-            "llava": load_mod.llava_frozen,
-            "llava_next": lambda c, g, s=None: load_mod.llava_frozen(
-                c, g, s, next_variant=True),
-            "hpt": load_mod.hpt_frozen,
-        }
-        frozen = loaders[args.family](args.checkpoint, cfg,
-                                      args.sam_checkpoint)
+        extra = {}
+        if args.family == "mgm":
+            extra = {"clip_checkpoint": args.clip_checkpoint,
+                     "aux_checkpoint": args.aux_checkpoint}
+        frozen = get_loader(args.family)(
+            args.checkpoint, cfg, args.sam_checkpoint, **extra)
         params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
         if args.sam_checkpoint:
             base = cfg.base if hasattr(cfg, "base") else cfg
@@ -247,6 +267,10 @@ def main():
     steps = args.steps or 10000
     opt = train_loop.make_optimizer(train_loop.OptimConfig(
         lr=args.lr, total_steps=steps))
+    if args.nonfinite_guard:
+        from flmm_tpu.train.diagnostics import nonfinite_guard
+
+        opt = nonfinite_guard(opt)
     state = train_loop.init_state(params["trainable"], opt)
 
     workdir = pathlib.Path(args.work_dir)
@@ -265,11 +289,24 @@ def main():
     loss_fn = lambda p, b: model.loss_fn(p, cfg, b)
 
     stream = (synthetic_stream(args, cfg, steps)
-              if args.synthetic else real_stream(args, cfg, steps))
+              if args.synthetic else real_stream(
+                  args, cfg, steps, rendered_prompt=rendered_prompt,
+                  spec_kwargs=spec_kwargs))
+    from flmm_tpu.train.diagnostics import MetricLogger, StepTimer, profile
+
+    mlog = MetricLogger(
+        path=args.metrics_file or str(workdir / "metrics.jsonl"),
+        interval=args.log_interval)
+    timer = StepTimer(window=args.log_interval)
+    profile_ctx = None
+
     step_fn = None
     frozen_sharded = None
     t0 = time.time()
     for i, batch in enumerate(stream):
+        if args.profile and i == 2:  # past compile + first dispatch
+            profile_ctx = profile(workdir / "xplane")
+            profile_ctx.__enter__()
         batch = jax.tree.map(jnp.asarray, batch)
         if step_fn is None:
             with mesh:
@@ -284,15 +321,26 @@ def main():
             batch = jax.device_put(batch,
                                    mesh_lib.batch_shardings(mesh, batch))
             state, metrics = step_fn(state, frozen_sharded, batch)
+        timer.tick()
+        if profile_ctx is not None and i == 2 + args.profile - 1:
+            jax.block_until_ready(state["params"])
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
+            print(f"profile: wrote xplane trace to {workdir / 'xplane'}")
         if (i + 1) % args.log_interval == 0:
             m = {k: float(v) for k, v in metrics.items()}
+            m["sec_per_step"] = timer.mean
+            m["imgs_per_sec"] = args.batch_size / max(timer.mean, 1e-9)
+            mlog.log(i + 1, m)
             m["step"] = i + 1
-            m["sec_per_step"] = (time.time() - t0) / args.log_interval
-            t0 = time.time()
+            m["wall"] = time.time() - t0
             print(json.dumps(m), flush=True)
         if (i + 1) % args.save_steps == 0 or i + 1 == steps:
             ckpt.save(workdir / f"step_{i + 1}", state)
             print(f"saved step_{i + 1}")
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+    mlog.close()
 
 
 if __name__ == "__main__":
