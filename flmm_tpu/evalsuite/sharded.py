@@ -46,6 +46,7 @@ def batch_iou_terms(
         "intersection": inter.sum(),
         "union": union.sum(),
         "iou_sum": (iou * mv).sum(),
+        "acc50_sum": ((iou > 0.5).astype(jnp.float32) * mv).sum(),
         "count": mv.sum(),
     }
 
@@ -64,12 +65,14 @@ def make_sharded_eval_step(model_forward, mesh):
             batch["mask_valid"],
         )
 
+    jitted = jax.jit(step)
+
     def run(params, batch):
         with mesh:
             sharded = jax.device_put(
                 batch, mesh_lib.batch_shardings(mesh, batch)
             )
-            return jax.jit(step)(params, sharded)
+            return jitted(params, sharded)
 
     return run
 
@@ -80,5 +83,57 @@ def finalize(terms: dict) -> dict:
         / max(float(terms["union"]), 1e-12),
         "mIoU": 100.0 * float(terms["iou_sum"])
         / max(float(terms["count"]), 1.0),
+        "aAcc@0.5": 100.0 * float(terms["acc50_sum"])
+        / max(float(terms["count"]), 1.0),
         "n": int(terms["count"]),
     }
+
+
+def run_eval_sharded(
+    samples,
+    params,
+    model_forward,
+    spec,
+    batch_size: int,
+    mesh,
+    batch_builder=None,
+) -> dict:
+    """Mesh-sharded eval loop: batches stream through one jitted program
+    whose scalar metric terms XLA reduces across the data axis; the host
+    only ever sees a handful of floats (the gather_object replacement,
+    reference multiprocess_eval_refcoco.py:169).
+
+    Pad samples within an incomplete final batch get ``mask_valid`` zeroed
+    so they can't contribute.  Scores are computed in the SAM prompt frame
+    (see module docstring); the host path is the reference-exact scorer.
+    """
+    from flmm_tpu.data.collate import build_batch
+
+    build = batch_builder or build_batch
+    step = make_sharded_eval_step(model_forward, mesh)
+    totals: dict | None = None
+    buf: list = []
+
+    def flush():
+        nonlocal totals
+        if not buf:
+            return
+        pad = buf + [buf[-1]] * (batch_size - len(buf))
+        batch = build(pad, spec)
+        batch.pop("infos", None)
+        if len(buf) < batch_size:  # neutralise pad duplicates
+            batch["mask_valid"][len(buf):] = False
+        import jax.numpy as jnp  # noqa: F811
+
+        batch = jax.tree.map(jnp.asarray, batch)
+        terms = jax.tree.map(float, step(params, batch))
+        totals = (terms if totals is None else
+                  {k: totals[k] + terms[k] for k in terms})
+        buf.clear()
+
+    for s in samples:
+        buf.append(s)
+        if len(buf) == batch_size:
+            flush()
+    flush()
+    return finalize(totals) if totals else {}

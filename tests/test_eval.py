@@ -176,3 +176,35 @@ def test_run_eval_seq_len_buckets():
                    score_fn=refcoco_score, seq_len_buckets=(24, 48))
     assert acc.results()["n"] == 4
     assert set(seen_lens) <= {24, 48} and len(set(seen_lens)) >= 1
+
+
+def test_run_eval_sharded_loop(synthetic_png_like_samples=None):
+    """run_eval_sharded: streams samples through the builder on a mesh,
+    neutralises pad duplicates, returns finalized metrics."""
+    import jax
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.data.collate import BatchSpec
+    from flmm_tpu.data.processors import ProcessorConfig
+    from flmm_tpu.data.synthetic import synthetic_samples
+    from flmm_tpu.evalsuite.sharded import run_eval_sharded
+    from flmm_tpu.models.frozen import grounding as model
+    from flmm_tpu.models.mask_head.unet import output_hw
+    from flmm_tpu.parallel import mesh as mesh_lib
+
+    cfg = tiny()
+    params = model.init_params(cfg, jax.random.key(0))
+    samples = synthetic_samples(cfg, 5, seed=0)  # 5 % 4 != 0: pad path
+    spec = BatchSpec(
+        seq_len=max(len(s["input_ids"]) for s in samples) + 16,
+        max_masks=2, text_per_mask=8,
+        coarse_hw=output_hw(cfg.unet, (cfg.clip_shape, cfg.clip_shape)),
+        sam_size=cfg.sam.encoder.img_size, prompt_size=cfg.sam.prompt_size,
+        processor=ProcessorConfig(size=cfg.input_size))
+    mesh = mesh_lib.make_mesh(n_data=4, n_model=1)
+    out = run_eval_sharded(iter(samples), params,
+                           lambda p, b: model.forward(p, cfg, b),
+                           spec, batch_size=4, mesh=mesh)
+    assert set(out) == {"cIoU", "mIoU", "aAcc@0.5", "n"}
+    n_masks = sum(len(s["spans"]) for s in samples)
+    assert out["n"] == min(n_masks, 2 * 5)  # max_masks caps per sample
+    assert 0 <= out["mIoU"] <= 100
