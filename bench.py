@@ -24,14 +24,14 @@ def build(batch_size: int):
     from flmm_tpu.data.synthetic import synthetic_batch
     from flmm_tpu.models.frozen import deepseek_vl as model
 
-    # img_start=128 / S=768: the 128-aligned packed layout the data
-    # pipeline produces under align_image_block=128, which turns on the
-    # fused flash-capture decoder kernel (no SxS transients per layer)
+    # S=672 with the raw prompt layout (img_start=5): measured faster on
+    # v5e than the 128-aligned flash-capture layout at this length (the
+    # capture kernel only wins at anyres scale; see configs/deepseek_vl)
     cfg = deepseek_vl_1_3b()
     params = model.init_params(cfg, jax.random.key(0))
     batch = jax.tree.map(
         jnp.asarray,
-        synthetic_batch(cfg, batch_size=batch_size, seq_len=768, max_masks=8,
+        synthetic_batch(cfg, batch_size=batch_size, seq_len=672, max_masks=8,
                         text_tokens_per_mask=12),
     )
 

@@ -40,7 +40,7 @@ def sam_vit_l(dtype=jnp.bfloat16, flash: bool = True) -> SamRefinerConfig:
 
 
 def deepseek_vl_1_3b(dtype=jnp.bfloat16,
-                     img_start: int = 128) -> DeepseekVLGroundingConfig:
+                     img_start: int = 5) -> DeepseekVLGroundingConfig:
     """DeepSeek-VL-1.3B-chat grounding stack.
 
     LLM dims per deepseek-ai/deepseek-vl-1.3b-chat (DeepSeek-LLM 1.3B:
@@ -48,10 +48,12 @@ def deepseek_vl_1_3b(dtype=jnp.bfloat16,
     SigLIP-L/16-384 (reference frozen_deepseek_vl.py:36-37).
 
     ``img_start``: static position of the image block in the packed
-    sequence.  The raw deepseek prompt puts it at 5; the default 128
-    assumes the batch builders' ``align_image_block=128`` masked padding,
-    which turns on the fused flash-capture decoder kernel (no ``S x S``
-    transients).  Pass the tokenizer-derived value to opt out.
+    sequence.  5 = the raw deepseek prompt offset.  Passing a multiple of
+    128 (with the batch builders' ``align_image_block=128`` masked
+    padding) turns on the fused flash-capture decoder kernel -- measured
+    on v5e bs8 that only pays off at anyres sequence lengths (S=768:
+    XLA 150 ms vs kernel 163 ms; S=3072: kernel 151 vs 183 ms), so the
+    short-sequence deepseek recipe defaults to the unpadded layout.
     """
     llm = DecoderConfig(
         vocab_size=102400, hidden_size=2048, num_layers=24, num_heads=16,
@@ -78,7 +80,7 @@ def deepseek_vl_1_3b(dtype=jnp.bfloat16,
 
 
 def deepseek_vl_7b(dtype=jnp.bfloat16,
-                   img_start: int = 128) -> DeepseekVLGroundingConfig:
+                   img_start: int = 5) -> DeepseekVLGroundingConfig:
     """DeepSeek-VL-7B-chat grounding stack: hybrid tower (SAM-B high-res @
     1024 + SigLIP-L/16-384 low-res, reference deepseek_vl/models/
     clip_encoder.py:126-203) with the split mlp_gelu projector."""

@@ -37,6 +37,7 @@ def _layer_step(
     pos: jnp.ndarray, valid_len: jnp.ndarray,
     cos: jnp.ndarray, sin: jnp.ndarray,
     img_start: int, n_img: int,
+    key_valid: jnp.ndarray | None = None,
 ):
     """One decoder layer for one new token (h: (1, D))."""
     S_tot = k_cache.shape[0]
@@ -64,6 +65,8 @@ def _layer_step(
         "hd,thd->ht", q, kk, preferred_element_type=jnp.float32
     ) / jnp.sqrt(float(hd))
     mask = jnp.arange(S_tot) <= valid_len
+    if key_valid is not None:  # anyres: masked pads inside the prompt
+        mask = mask & key_valid
     logits = jnp.where(mask[None, :], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)  # (H, S_tot)
     out = jnp.einsum("ht,thd->hd", probs.astype(h.dtype), vv).reshape(1, -1)
@@ -78,11 +81,18 @@ def prefill(
     params: dict, cfg: DecoderConfig, embeds: jnp.ndarray,
     img_start: int, n_img: int, max_new_tokens: int,
     layer_weights: jnp.ndarray | None = None,
+    attn_mask: jnp.ndarray | None = None,
+    position_ids: jnp.ndarray | None = None,
 ):
     """Run the prompt, building the KV cache.
 
     Args:
       embeds: ``(S, D)`` prompt embeddings.
+      attn_mask: optional ``(S,)`` bool -- False marks masked pad slots
+        inside the packed prompt (anyres/MGM-HD image-block padding);
+        their keys are excluded for every query, here and in decode.
+      position_ids: optional ``(S,)`` RoPE positions (pads skipped), as
+        produced by the anyres batch builders.
 
     Returns dict with 'k_cache'/'v_cache' ``(L, S+max_new, KV, hd)``,
     'last_hidden' ``(D,)`` (post final norm, for the first sampled token),
@@ -95,10 +105,12 @@ def prefill(
     h = embeds[None].astype(cfg.dtype)
     if cfg.embed_scale:
         h = h * jnp.asarray(jnp.sqrt(float(cfg.hidden_size)), cfg.dtype)
-    positions = jnp.arange(S)[None]
+    positions = (jnp.arange(S)[None] if position_ids is None
+                 else position_ids[None])
     cos, sin = rope_tables(positions, hd, cfg.rope_theta)
     causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
-    bias = jnp.where(causal, 0.0, jnp.finfo(jnp.float32).min)[None, None]
+    allow = causal if attn_mask is None else causal & attn_mask[None, :]
+    bias = jnp.where(allow, 0.0, jnp.finfo(jnp.float32).min)[None, None]
 
     if layer_weights is None:
         layer_weights = jnp.full((L,), 1.0 / L, jnp.float32)
@@ -149,13 +161,21 @@ def prefill(
     hidden = acc + layer_weights[L - 1] * jax.lax.stop_gradient(last[0]).astype(
         jnp.float32
     )
-    return {
+    out = {
         "k_cache": k_cache, "v_cache": v_cache,
         "last_hidden": last[0, -1],
         "attn": attn,  # (L, H, S, n_img)
         "hidden": hidden,  # (S, D) weighted
         "prompt_len": S,
+        # RoPE position of the first generated token (== S when dense)
+        "next_position": (jnp.asarray(S, jnp.int32) if position_ids is None
+                          else position_ids[-1].astype(jnp.int32) + 1),
     }
+    if attn_mask is not None:
+        out["key_valid"] = jnp.concatenate(
+            [attn_mask.astype(bool),
+             jnp.ones((max_new_tokens,), bool)])
+    return out
 
 
 def decode(
@@ -181,20 +201,25 @@ def decode(
     first_logits = state["last_hidden"] @ head
     first_token = jnp.argmax(first_logits).astype(jnp.int32)
     prompt_len = state["prompt_len"]
+    key_valid = state.get("key_valid")  # anyres masked-pad prompts
+    first_rope = state.get("next_position",
+                           jnp.asarray(prompt_len, jnp.int32))
 
     def step(carry, _):
-        token, pos, done, k_caches, v_caches = carry
+        token, pos, rope_pos, done, k_caches, v_caches = carry
         emb = params["embed"][token][None].astype(cfg.dtype)
         if cfg.embed_scale:
             emb = emb * jnp.asarray(jnp.sqrt(float(cfg.hidden_size)), cfg.dtype)
-        cos, sin = rope_tables(pos[None, None], cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_tables(rope_pos[None, None], cfg.head_dim,
+                               cfg.rope_theta)
         h = emb
 
         def layer(carry2, xs):
             h, acc = carry2
             lp, w_l, kc, vc = xs
             h, kc, vc, img = _layer_step(
-                lp, cfg, h, kc, vc, pos, pos, cos, sin, img_start, n_img
+                lp, cfg, h, kc, vc, pos, pos, cos, sin, img_start, n_img,
+                key_valid=key_valid,
             )
             acc = acc + w_l * jax.lax.stop_gradient(h[0]).astype(jnp.float32)
             return (h, acc), (kc, vc, img)
@@ -211,11 +236,12 @@ def decode(
         emit_valid = jnp.logical_not(done)
         done = jnp.logical_or(done, is_stop)
         return (
-            (nxt, pos + 1, done, k_new, v_new),
+            (nxt, pos + 1, rope_pos + 1, done, k_new, v_new),
             (token, emit_valid, imgs, hidden),
         )
 
-    init = (first_token, prompt_len, jnp.asarray(False),
+    init = (first_token, jnp.asarray(prompt_len, jnp.int32),
+            first_rope, jnp.asarray(False),
             state["k_cache"], state["v_cache"])
     _, (tokens, valid, attn, hidden) = jax.lax.scan(step, init, None, length=T)
     return {"tokens": tokens, "valid": valid, "attn": attn, "hidden": hidden}

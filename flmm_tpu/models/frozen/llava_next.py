@@ -68,14 +68,18 @@ def init_params(cfg: LlavaNextConfig, key: jax.Array) -> dict:
     return params
 
 
-def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
-    fro, tra = params["frozen"], params["trainable"]
+def pack_embeds(params: dict, cfg: LlavaNextConfig, batch: dict):
+    """Steps 1-3 of the anyres forward: tower over base+tiles, block
+    gather through the per-sample feature table, scatter into the padded
+    image block.  Shared by training/eval ``forward`` and decode-time
+    generation (the packed block is contiguous at ``img_start`` with
+    ``attn_mask`` masking its pad slots, so the KV-decode capture path
+    applies unchanged)."""
+    fro = params["frozen"]
     gcfg = cfg.base
-    B, S = batch["input_ids"].shape
-    M = batch["mask_valid"].shape[1]
+    B = batch["input_ids"].shape[0]
     g = cfg.grid
     g2 = g * g
-    n_max = cfg.n_img_max
 
     # 1. tower over base+tiles
     tiles = batch["tiles"]  # (B, 1+T, gpx, gpx, 3)
@@ -102,13 +106,26 @@ def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
     )  # (B, n_max, d)
     block = block * batch["block_valid"][..., None]
 
-    # 3. scatter + decoder with capture (explicit position ids)
+    # 3. scatter into the padded image block
     embeds = llm.embed_tokens(fro["llm"], gcfg.llm, batch["input_ids"]).astype(
         gcfg.dtype
     )
     embeds = jax.lax.dynamic_update_slice(
         embeds, block, (0, gcfg.img_start, 0)
     )
+    return embeds
+
+
+def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
+    fro, tra = params["frozen"], params["trainable"]
+    gcfg = cfg.base
+    B, S = batch["input_ids"].shape
+    M = batch["mask_valid"].shape[1]
+    g = cfg.grid
+    g2 = g * g
+    n_max = cfg.n_img_max
+
+    embeds = pack_embeds(params, cfg, batch)
     lw = jax.nn.softmax(tra["text_layer_weights"])
     if gcfg.merge == "mean":
         mm = jax.vmap(lambda ids: mask_ops.mean_merge_matrix(ids, M))(

@@ -47,13 +47,17 @@ class SamEncoderConfig:
     flash_window: bool = False
     # global-attention kernel variant (ops/sam_flash.py).  v5e bs8
     # measurements, ms/call: v1 20.0, v2 19.3, v3 17.8, v4 17.8 -- the op
-    # is exp-throughput-bound (G*S*S = 2.1G transcendentals), so variants
-    # differ only in MXU/VMEM overhead; v3 (augmented-K fused bias matmul,
-    # one-shot f32 softmax) is fastest with exact-f32 softmax.
-    global_kernel: str = "v3"
-    # window kernel variant: v1 (in-kernel one-hot bias matmuls) measured
-    # 11.0 ms/call vs v2 12.9 / v3 14.5 / v4 13.0.
-    window_kernel: str = "v1"
+    # is exp/VPU-bound (G*S*S = 2.1G transcendentals), so variants differ
+    # only in overhead; v6 (augmented-K fused bias matmul + pipelined
+    # softmax chunks) measured 17.1, v3 17.8, v1 20.0, v2 19.3, v4 17.8.
+    global_kernel: str = "v6"
+    # window kernel variant, ms/call: v6 (single fused one-hot bias
+    # matmul) 10.3, v1 11.0, v2 12.9, v4/v5 13.0-13.3, v3 14.5.
+    window_kernel: str = "v6"
+    # fuse LN2 + MLP + residual into one Pallas kernel (the (N, F)
+    # activation tensor never touches HBM); used when the flash kernels
+    # are on and shapes tile cleanly
+    fused_mlp: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -175,7 +179,8 @@ def _flash_global_attention(
     kernels = {"v1": sam_flash.sam_global_attention,
                "v2": sam_flash.sam_global_attention_v2,
                "v3": sam_flash.sam_global_attention_v3,
-               "v4": sam_flash.sam_global_attention_v4}
+               "v4": sam_flash.sam_global_attention_v4,
+               "v6": sam_flash.sam_global_attention_v6}
     B, H, W, C = x.shape
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
@@ -208,7 +213,9 @@ def _flash_window_attention(
     wkernel = {"v1": sam_flash.sam_window_attention,
                "v2": sam_flash.sam_window_attention_v2,
                "v3": sam_flash.sam_window_attention_v3,
-               "v4": sam_flash.sam_window_attention_v4}[cfg.window_kernel]
+               "v4": sam_flash.sam_window_attention_v4,
+               "v5": sam_flash.sam_window_attention_v5,
+               "v6": sam_flash.sam_window_attention_v6}[cfg.window_kernel]
     B, H, W, C = x.shape
     ws = cfg.window_size
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -239,20 +246,36 @@ def _flash_window_attention(
         B, H, W, C)
 
 
+def _ln_mlp_residual(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig):
+    """``x + MLP(LN2(x))`` -- fused Pallas kernel when shapes tile."""
+    B, H, W, C = x.shape
+    mlp = bp["mlp"]
+    usable = (
+        cfg.fused_mlp and "w1" in mlp  # not int8-quantized
+        and jax.default_backend() == "tpu"
+        and (B * H * W) % 256 == 0 and C % 128 == 0
+        and mlp["w1"].shape[1] % 512 == 0
+    )
+    if usable:
+        from flmm_tpu.ops.fused_block import fused_ln_mlp
+
+        return fused_ln_mlp(
+            x, bp["ln2_w"], bp["ln2_b"], mlp["w1"], mlp["b1"],
+            mlp["w2"], mlp["b2"], eps=cfg.ln_eps)
+    y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
+    return x + mlp_block(y, mlp)
+
+
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
     shortcut = x
     x = layer_norm(x, bp["ln1_w"], bp["ln1_b"], cfg.ln_eps)
     if not windowed and cfg.flash_global and x.shape[1] == x.shape[2] \
             and (x.shape[1] * x.shape[2]) % 128 == 0:
         x = _flash_global_attention(x, bp, cfg)
-        x = shortcut + x
-        y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
-        return x + mlp_block(y, bp["mlp"])
+        return _ln_mlp_residual(shortcut + x, bp, cfg)
     if windowed and cfg.flash_window:
         x = _flash_window_attention(x, bp, cfg)
-        x = shortcut + x
-        y = layer_norm(x, bp["ln2_w"], bp["ln2_b"], cfg.ln_eps)
-        return x + mlp_block(y, bp["mlp"])
+        return _ln_mlp_residual(shortcut + x, bp, cfg)
     if windowed:
         B, H, W, C = x.shape
         ws = cfg.window_size

@@ -46,6 +46,15 @@ class ViTConfig:
     # SigLIP/timm trunks (deepseek_vl/models/siglip_vit.py, HF Siglip);
     # False for HF CLIP, whose post_layernorm only feeds the pooled CLS.
     final_norm: bool = True
+    # Use the Pallas bias-free flash kernel for self-attention on TPU
+    # (ops.sam_flash.plain_flash_attention).  Measured v5e bs8 SigLIP-L
+    # S=729: XLA 68.7 ms vs kernel 79 ms -- XLA's fused attention wins at
+    # tower sizes, so this stays off; the kernel exists for long-sequence
+    # towers where the (G,S,S) materialisation would dominate.
+    flash: bool = False
+    # fuse LN2 + MLP + residual into one Pallas kernel on TPU (the (N, F)
+    # activation never touches HBM); auto-disabled for non-tiling shapes
+    fused_mlp: bool = True
     dtype: Any = jnp.float32
 
     @property
@@ -184,6 +193,12 @@ def forward(
     H, hd = cfg.num_heads, cfg.head_dim
     S = x.shape[1]
     scale = 1.0 / jnp.sqrt(float(hd))
+    use_flash = cfg.flash and jax.default_backend() == "tpu"
+    use_fused_mlp = (
+        cfg.fused_mlp and jax.default_backend() == "tpu"
+        and cfg.act in ("gelu", "gelu_tanh", "quick_gelu")
+        and d % 128 == 0 and cfg.mlp_dim % 512 == 0
+    )
 
     def layer(h, lp):
         y = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
@@ -192,15 +207,33 @@ def forward(
         q = q.reshape(B, S, H, hd)
         k = k.reshape(B, S, H, hd)
         v = v.reshape(B, S, H, hd)
-        logits = (
-            jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
-        o = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, d)
+        if use_flash:
+            from flmm_tpu.ops.sam_flash import plain_flash_attention
+
+            def heads(t):
+                return t.transpose(0, 2, 1, 3).reshape(B * H, S, hd)
+
+            o = plain_flash_attention(heads(q), heads(k), heads(v))
+            o = o.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, d)
+        else:
+            logits = (
+                jnp.einsum("bshd,bthd->bhst", q, k,
+                           preferred_element_type=jnp.float32)
+                * scale
+            )
+            probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+            o = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, d)
         h = h + (o @ lp["wo"] + lp["bo"])
-        y2 = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        h = h + (_act(y2 @ lp["w1"] + lp["b1"], cfg.act) @ lp["w2"] + lp["b2"])
+        if use_fused_mlp:
+            from flmm_tpu.ops.fused_block import fused_ln_mlp
+
+            h = fused_ln_mlp(h, lp["ln2_w"], lp["ln2_b"], lp["w1"],
+                             lp["b1"], lp["w2"], lp["b2"], eps=cfg.ln_eps,
+                             act=cfg.act)
+        else:
+            y2 = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            h = h + (_act(y2 @ lp["w1"] + lp["b1"], cfg.act) @ lp["w2"]
+                     + lp["b2"])
         return h, h
 
     x_final, hs = jax.lax.scan(layer, x, params["layers"])

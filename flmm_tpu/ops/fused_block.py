@@ -1,0 +1,129 @@
+"""Fused transformer-block pieces for the SAM ViTDet encoder.
+
+``fused_ln_mlp`` computes ``x + W2(gelu(W1 ln(x)))`` in one Pallas kernel
+with K-accumulation over the hidden dimension: the (N, F) activation
+tensor never touches HBM (the XLA path writes/reads it ~3x per block,
+~1 GB/block at SAM-L bs8), LayerNorm is computed once per token tile and
+cached in VMEM, and gelu(erf) runs on register tiles.  Measured on v5e
+(SAM-L bs8): MLP+LN sub-graph 172 ms -> see README for the fused number.
+
+Behavioural spec: reference segment_anything/modeling/common.py MLPBlock
+(exact-erf GELU) + the pre-norm/residual wiring of image_encoder.Block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Abramowitz & Stegun 7.1.26 rational erf, |error| <= 1.5e-7 --
+    below bf16 resolution.  Mosaic has no erf/erfc primitive."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_erf(x):
+    """Exact-erf GELU (reference nn.GELU default) via _erf."""
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+_ACTS = {
+    "gelu": _gelu_erf,
+    "gelu_tanh": lambda x: 0.5 * x * (1.0 + jnp.tanh(
+        0.7978845608028654 * (x + 0.044715 * x ** 3))),
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
+    "relu": lambda x: jnp.maximum(x, 0.0),
+}
+
+
+def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+            o_ref, lnx_ref, acc_ref, *, eps: float, n_f: int, act: str):
+    """One (i, f) step: token tile i, hidden-dim tile f (innermost)."""
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _():
+        xf = x_ref[...].astype(jnp.float32)
+        mu = xf.mean(axis=1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + eps)
+        y = y * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+            jnp.float32)
+        lnx_ref[...] = y.astype(lnx_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = jnp.dot(lnx_ref[...], w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = _ACTS[act](h).astype(x_ref.dtype)
+    acc_ref[...] += jnp.dot(h, w2_ref[...],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(f == n_f - 1)
+    def _():
+        out = (x_ref[...].astype(jnp.float32) + acc_ref[...]
+               + b2_ref[...].astype(jnp.float32))
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_ln_mlp(
+    x: jnp.ndarray, ln_w: jnp.ndarray, ln_b: jnp.ndarray,
+    w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+    eps: float = 1e-6, block_n: int = 256, block_f: int = 512,
+    act: str = "gelu", interpret: bool = False,
+) -> jnp.ndarray:
+    """``x + W2 @ gelu(W1 @ LN(x))`` over ``(..., C)`` tokens.
+
+    Args:
+      x: ``(..., C)``; flattened internally to ``(N, C)``.
+      w1: ``(C, F)``; w2: ``(F, C)``.
+    """
+    shape = x.shape
+    C = shape[-1]
+    F = w1.shape[1]
+    xf = x.reshape(-1, C)
+    N = xf.shape[0]
+    block_n = min(block_n, N)
+    block_f = min(block_f, F)
+    pad_n = (block_n - N % block_n) % block_n
+    if pad_n:  # zero rows: LN/MLP garbage is sliced off below
+        xf = jnp.pad(xf, ((0, pad_n), (0, 0)))
+    assert F % block_f == 0, (F, block_f)
+    n_f = F // block_f
+
+    kernel = functools.partial(_kernel, eps=eps, n_f=n_f, act=act)
+    np_ = N + pad_n
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // block_n, n_f),
+        in_specs=[
+            pl.BlockSpec((block_n, C), lambda i, f: (i, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((C, block_f), lambda i, f: (0, f)),
+            pl.BlockSpec((1, block_f), lambda i, f: (0, f)),
+            pl.BlockSpec((block_f, C), lambda i, f: (f, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, C), lambda i, f: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, C), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, C), x.dtype),
+            pltpu.VMEM((block_n, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf, ln_w.reshape(1, C), ln_b.reshape(1, C), w1, b1.reshape(1, F),
+      w2, b2.reshape(1, C))
+    return out[:N].reshape(shape)

@@ -108,6 +108,85 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         ).astype(o_ref.dtype)
 
 
+def _window_kernel_v6(q_ref, k_ref, v_ref, bhw_ref, o_ref, *,
+                      scale: float, side: int, valid: int, group: int):
+    """v1 structure (in-kernel k.T, no XLA-side transposes) with the two
+    bias expansions fused into ONE one-hot matmul: [bias_h | bias_w] @
+    sel_hw, cutting MXU passes per window from 16 to 12."""
+    tp = q_ref.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (2 * side, tp), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (2 * side, tp), 1)
+    in_win = j < valid
+    top = row < side
+    sel = (top & (row == j // side)) | (
+        jnp.logical_not(top) & ((row - side) == (j % side)))
+    sel = (sel & in_win).astype(q_ref.dtype)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
+
+    for w in range(group):
+        q = q_ref[w]
+        k = k_ref[w]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + jnp.dot(bhw_ref[w], sel, preferred_element_type=jnp.float32)
+        s = jnp.where(col_ok, s, -1e30)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o_ref[w] = (
+            jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                    preferred_element_type=jnp.float32)
+            / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def sam_window_attention_v6(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v6 (see :func:`_window_kernel_v6`).
+    Same contract as :func:`sam_window_attention`."""
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bhw = jnp.concatenate([bias_h, bias_w], axis=-1).astype(jnp.bfloat16)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, tp - T), (0, 0)))
+
+    qp, kp, vp, bhwp = pad(q), pad(k), pad(v), pad(bhw)
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(_window_kernel_v6, scale=scale, side=side,
+                               valid=T, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, 2 * side), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, bhwp)
+    return out[:, :T]
+
+
 def _window_kernel_v2(q_ref, kt_ref, v_ref, bias_ref, o_ref, *,
                       group: int):
     """A group of windows per grid step; bias arrives pre-expanded
@@ -554,6 +633,70 @@ def sam_global_attention_v2(
     return out
 
 
+def _plain_kernel(a_ref, b_ref, v_ref, o_ref):
+    """One (g, i) step of bias-free non-causal attention: one-shot
+    softmax over the full (padded) key row; the pad-flag lane of ``a``
+    pairs with a -1e30 mask row in ``b`` to kill padded key columns, and
+    the ones-column of ``v`` emits the softmax denominator."""
+    s = jnp.dot(a_ref[0], b_ref[0], preferred_element_type=jnp.float32)
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    ol = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                 preferred_element_type=jnp.float32)
+    o_ref[0] = (ol[:, :-1] / jnp.maximum(ol[:, -1:], 1e-30)).astype(
+        o_ref.dtype)
+
+
+def plain_flash_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    interpret: bool = False, block_q: int = 256,
+) -> jnp.ndarray:
+    """Non-causal, bias-free attention for ViT towers: ``(G, S, hd)``
+    inputs with any S (padded internally to a 128 multiple); never
+    materialises the (G, S, S) probabilities in HBM (the XLA tower path
+    does, ~40% of SigLIP-L tower time at bs8 on v5e)."""
+    G, S, hd = q.shape
+    sp = ((S + 127) // 128) * 128
+    kp = ((hd + 1 + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    ones = jnp.ones((G, S, 1), q.dtype)
+    a = jnp.concatenate([qs, ones], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, sp - S), (0, kp - hd - 1)))
+
+    kt = jnp.swapaxes(k, 1, 2)  # (G, hd, S)
+    maskrow = jnp.zeros((G, 1, S), q.dtype)
+    b = jnp.concatenate([kt, maskrow], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - hd - 1), (0, 0)))
+    if sp > S:
+        pen = jnp.concatenate([
+            jnp.zeros((G, hd, sp - S), q.dtype),
+            jnp.full((G, 1, sp - S), -1e30, q.dtype),
+            jnp.zeros((G, kp - hd - 1, sp - S), q.dtype)], axis=1)
+        b = jnp.concatenate([b, pen], axis=2)
+
+    va = jnp.concatenate([v, jnp.ones((G, S, 1), v.dtype)], axis=-1)
+    va = jnp.pad(va, ((0, 0), (0, sp - S), (0, 0)))
+
+    block_q = min(block_q, sp)
+    if sp % block_q:
+        block_q = 128  # sp is always a multiple of 128
+    out = pl.pallas_call(
+        _plain_kernel,
+        grid=(G, sp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, sp), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, sp, hd + 1), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, sp, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, va)
+    return out[:, :S]
+
+
 def _global_kernel_v4(a_ref, b_ref, v_ref, o_ref):
     """v3 + two VMEM-pass cuts: scores stored bf16 (MXU still accumulates
     f32 internally) and the softmax denominator comes out of the PV matmul
@@ -626,6 +769,91 @@ def sam_global_attention_v4(
         out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
         interpret=interpret,
     )(a, b, va)
+    return out
+
+
+def _global_kernel_v6(a_ref, b_ref, v_ref, o_ref, *, chunks: int):
+    """v3 with the q-tile split into chunks whose score matmuls are
+    issued ahead of the previous chunk's softmax, letting the MXU and the
+    (dominant) VPU exp work overlap."""
+    a = a_ref[0]
+    b = b_ref[0]
+    vv = v_ref[0]
+    n = a.shape[0] // chunks
+
+    def score(i):
+        return jnp.dot(a[i * n:(i + 1) * n], b,
+                       preferred_element_type=jnp.float32)
+
+    s_next = score(0)
+    outs = []
+    for i in range(chunks):
+        s = s_next
+        if i + 1 < chunks:
+            s_next = score(i + 1)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o = jnp.dot(p.astype(vv.dtype), vv,
+                    preferred_element_type=jnp.float32)
+        outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+def sam_global_attention_v6(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 512,
+    chunks: int = 8,
+) -> jnp.ndarray:
+    """Global ViTDet attention, v6: augmented-K fused bias (v3) +
+    software-pipelined softmax chunks.  Same contract as
+    :func:`sam_global_attention`."""
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    assert block_q % chunks == 0 and (block_q // chunks) % 8 == 0
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, S, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, kp - ka)))
+
+    kt = jnp.swapaxes(k, 1, 2)
+    j = jnp.arange(S)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, S))
+    b = jnp.concatenate([kt, sel], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka), (0, 0)))
+
+    kernel = functools.partial(_global_kernel_v6, chunks=chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, v)
     return out
 
 

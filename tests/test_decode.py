@@ -131,3 +131,53 @@ def test_decode_matches_full_forward_gemma_and_moe():
                 lm_logits(params, cfg, full["last_hidden"])[0, -1]))
             assert toks[t] == nxt, (kwargs, t, toks, nxt)
             seq.append(nxt)
+
+
+def test_decode_masked_pad_prompt_matches_full_forward():
+    """Anyres-style prompts: masked pad slots inside the image block
+    (block_valid) + position ids that skip pads.  Decode must exclude pad
+    keys and continue RoPE from the valid-token count (VERDICT round-1
+    item 9)."""
+    cfg, params = _setup()
+    rng = np.random.default_rng(3)
+    S = 12
+    prompt = jnp.asarray(rng.integers(0, 64, (S,)), jnp.int32)
+    # pads at positions 4:7 (inside an image block starting at 2)
+    mask = np.ones((S,), bool)
+    mask[4:7] = False
+    positions = np.maximum(np.cumsum(mask) - 1, 0).astype(np.int32)
+    embeds = embed_tokens(params, cfg, prompt)
+
+    T = 5
+    state = prefill(params, cfg, embeds, IMG_START, N_IMG, max_new_tokens=T,
+                    attn_mask=jnp.asarray(mask),
+                    position_ids=jnp.asarray(positions))
+    out = decode(params, cfg, state, DecodeConfig(max_new_tokens=T),
+                 IMG_START, N_IMG)
+    toks = np.asarray(out["tokens"])
+
+    seq = list(np.asarray(prompt))
+    m = list(mask)
+    for t in range(T):
+        am = jnp.asarray(m, bool)[None]
+        pos = jnp.maximum(jnp.cumsum(am[0]) - 1, 0)[None]
+        full = forward_capture(
+            params, cfg,
+            embed_tokens(params, cfg, jnp.asarray(seq, jnp.int32))[None],
+            am, IMG_START, N_IMG, position_ids=pos,
+        )
+        nxt = int(jnp.argmax(
+            lm_logits(params, cfg, full["last_hidden"])[0, -1]))
+        assert toks[t] == nxt, (t, toks[:t + 1], nxt)
+        seq.append(nxt)
+        m.append(True)
+
+    # prompt-capture rows also match the masked full forward
+    am = jnp.asarray(mask, bool)[None]
+    pos = jnp.asarray(positions)[None]
+    full = forward_capture(
+        params, cfg, embed_tokens(params, cfg, prompt)[None], am,
+        IMG_START, N_IMG, position_ids=pos)
+    want = np.asarray(full["attn"])[0]  # (L, H, S, n)
+    got = np.asarray(state["attn"])
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -149,3 +149,46 @@ def test_llava_next_tiny_e2e(anyres_batch):
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree.leaves(grads))
+
+
+def test_anyres_decode_capture_matches_forward(anyres_batch):
+    """KV-decode prefill over the packed anyres prompt (masked pad slots
+    in the image block, pad-skipping position ids) reproduces the
+    training forward's raw attention rows -- decode-time grounding for
+    the non-contiguous-feature families (VERDICT round-1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+
+    from flmm_tpu.configs.llava_next import tiny_llava_next
+    from flmm_tpu.generation.decode import DecodeConfig, decode, prefill
+    from flmm_tpu.models.frozen import llava_next as model
+    from flmm_tpu.models.llm import decoder as llm
+
+    batch, img_start = anyres_batch
+    cfg = tiny_llava_next(img_start=img_start)
+    params = model.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    embeds = model.pack_embeds(params, cfg, batch)
+    gcfg = cfg.base
+
+    b = 0
+    S = embeds.shape[1]
+    state = prefill(
+        params["frozen"]["llm"], gcfg.llm, embeds[b], gcfg.img_start,
+        cfg.n_img_max, max_new_tokens=4,
+        attn_mask=batch["attn_mask"][b],
+        position_ids=batch["position_ids"][b])
+    out = decode(params["frozen"]["llm"], gcfg.llm, state,
+                 DecodeConfig(max_new_tokens=4), gcfg.img_start,
+                 cfg.n_img_max)
+    assert np.asarray(out["tokens"]).shape == (4,)
+
+    # prompt capture rows == raw full-forward attention
+    full = llm.forward_capture(
+        params["frozen"]["llm"], gcfg.llm, embeds[b:b + 1],
+        batch["attn_mask"][b:b + 1], img_start=gcfg.img_start,
+        n_img=cfg.n_img_max, position_ids=batch["position_ids"][b:b + 1])
+    want = np.asarray(full["attn"])[0]  # (L, H, S, n_img)
+    got = np.asarray(state["attn"])
+    np.testing.assert_allclose(got, want, atol=3e-5)

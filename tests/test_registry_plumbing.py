@@ -89,13 +89,19 @@ def test_resolve_family_setup_fragmenting(family):
 
 
 def test_resolve_family_setup_deepseek_aligns_128():
+    # flash-capture presets (img_start % 128 == 0) get 128-alignment
     cfg, rp, spec_kwargs = resolve_family_setup(
-        "deepseek_vl", "1_3b", DeepseekTokenizer())
+        "deepseek_vl", "1_3b", DeepseekTokenizer(), img_start=128)
     assert cfg.img_start == 128
     assert cfg.llm.use_flash_capture
     assert spec_kwargs["align_image_block"] == 128
     assert spec_kwargs["expected_img_start"] == 128
     assert rp.img_start < 128  # raw prompt offset; builder pads the rest
+    # the default short-sequence recipe keeps the raw tokenizer layout
+    cfg2, rp2, sk2 = resolve_family_setup(
+        "deepseek_vl", "1_3b", DeepseekTokenizer())
+    assert cfg2.img_start == rp2.img_start
+    assert sk2["align_image_block"] is None
 
 
 def _mini_sample(rp, n_extra=6):

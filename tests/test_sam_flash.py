@@ -185,3 +185,48 @@ def test_sam_flash_v5_window_parity_interpret():
                                   group=2)
     want = reference(q, k, v, rph, rpw, side)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-2)
+
+
+def test_plain_flash_attention_parity_interpret():
+    from flmm_tpu.ops.sam_flash import plain_flash_attention
+
+    rng = np.random.default_rng(7)
+    G, S, hd = 3, 75, 32  # odd S exercises the key-pad masking
+    q = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.4)
+    k = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.4)
+    v = jnp.asarray(rng.standard_normal((G, S, hd)).astype(np.float32) * 0.4)
+    got = plain_flash_attention(q, k, v, interpret=True, block_q=64)
+    scale = 1.0 / np.sqrt(hd)
+    logits = jnp.einsum("gqd,gkd->gqk", q * scale, k)
+    want = jnp.einsum(
+        "gqk,gkd->gqd",
+        jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype),
+        v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
+
+
+def test_sam_flash_v6_parity_interpret():
+    from flmm_tpu.ops.sam_flash import (
+        sam_global_attention_v6, sam_window_attention_v6,
+    )
+
+    rng = np.random.default_rng(8)
+    for fn, side, hd, G, kw in (
+            (sam_global_attention_v6, 16, 32, 2,
+             {"block_q": 64, "chunks": 4}),
+            (sam_window_attention_v6, 7, 16, 3, {})):
+        T = side * side
+        q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        got = fn(q, k, v, rph, rpw, side, interpret=True, **kw)
+        want = reference(q, k, v, rph, rpw, side)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-2, err_msg=fn.__name__)
