@@ -68,9 +68,13 @@ def run(batch_size: int, iters: int = 6) -> float:
 
 
 def main():
+    import os
+
     target = 20.0  # images/sec/chip (BASELINE.json)
     last_err = None
-    for bs in (8, 4, 2, 1):
+    sizes = tuple(int(b) for b in os.environ.get(
+        "BENCH_BS", "8,4,2,1").split(","))
+    for bs in sizes:
         try:
             ips = run(bs)
             print(json.dumps({

@@ -26,13 +26,22 @@ def mask_iou_np(pred: np.ndarray, gt: np.ndarray) -> tuple[float, float, float]:
 
 def average_accuracy(ious: np.ndarray, n_thresholds: int = 100000) -> float:
     """Trapezoid integral of accuracy over IoU thresholds (reference exact
-    semantics; equals mean(ious) up to discretisation)."""
+    semantics; equals mean(ious) up to discretisation).
+
+    O(N) closed form of the reference's dense sweep; may differ by
+    <= 1e-5 per tied sample where float rounding of ``i/n`` flips an
+    ``iou >= threshold`` comparison (the dense sweep is equally arbitrary
+    on those ties)."""
     if len(ious) == 0:
         return 0.0
     ious = np.asarray(ious, np.float64)
-    thresholds = np.arange(n_thresholds) / n_thresholds
-    acc = (ious[None, :] >= thresholds[:, None]).mean(axis=1)
-    return float(acc[:-1].sum() / n_thresholds)
+    # acc(t) = mean(iou >= t) summed over thresholds i/n, i = 0..n-2 (the
+    # reference drops the last grid point).  A sample with given iou
+    # satisfies iou >= i/n for i <= floor(iou*n), i.e. floor(iou*n)+1 grid
+    # points, clipped to the n-1 thresholds actually summed -- O(N)
+    # instead of the (n_thresholds, N) boolean outer product.
+    counts = np.minimum(np.floor(ious * n_thresholds) + 1, n_thresholds - 1)
+    return float(counts.sum() / len(ious) / n_thresholds)
 
 
 @dataclasses.dataclass

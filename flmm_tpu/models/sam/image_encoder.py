@@ -45,15 +45,18 @@ class SamEncoderConfig:
     # blocks run one window per grid step with one-shot softmax.
     flash_global: bool = False
     flash_window: bool = False
-    # global-attention kernel variant (ops/sam_flash.py).  v5e bs8
-    # measurements, ms/call: v1 20.0, v2 19.3, v3 17.8, v4 17.8 -- the op
-    # is exp/VPU-bound (G*S*S = 2.1G transcendentals), so variants differ
-    # only in overhead; v6 (augmented-K fused bias matmul + pipelined
-    # softmax chunks) measured 17.1, v3 17.8, v1 20.0, v2 19.3, v4 17.8.
-    global_kernel: str = "v6"
-    # window kernel variant, ms/call: v6 (single fused one-hot bias
-    # matmul) 10.3, v1 11.0, v2 12.9, v4/v5 13.0-13.3, v3 14.5.
-    window_kernel: str = "v6"
+    # global-attention kernel variant (ops/sam_flash.py).  v5e bs8,
+    # in-graph chained timing (host-loop timing over-reports the relay
+    # backend; scripts/kernel_bench.py), ms/call incl. XLA-side prep:
+    # v1 21.1, v2 21.3, v3 19.4, v4 19.9, v6 19.8, v7 23.5,
+    # v8 (pipelined chunks + base-2 softmax) 18.5 -- near the measured
+    # compute floor (~7 ms MXU + ~9 ms VPU softmax passes).
+    global_kernel: str = "v8"
+    # window kernel variant, same methodology, ms/call: v9 (ONE
+    # augmented-K matmul with the one-hot bias columns pre-added to the
+    # lane-padded keys by XLA + base-2 softmax; 8 MXU passes/window)
+    # 8.06, v7 8.31, v8 9.23, v1 8.93, v6 13.7, others 13-21.
+    window_kernel: str = "v9"
     # fuse LN2 + MLP + residual into one Pallas kernel (the (N, F)
     # activation tensor never touches HBM); used when the flash kernels
     # are on and shapes tile cleanly
@@ -170,21 +173,24 @@ def _attention(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig) -> jnp.ndarray:
     return (qdense(out, bp, "wo") + bp["bo"]).reshape(B, H, W, C)
 
 
-def _flash_global_attention(
-    x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
+def _flash_global_core(
+    qkv: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
 ) -> jnp.ndarray:
-    """Global attention through the fused Pallas kernel."""
+    """Global attention core (pre-output-projection) through the fused
+    Pallas kernel.  ``qkv``: (B, H, W, 3C) -> returns (B, H, W, C)."""
     from flmm_tpu.ops import sam_flash
 
     kernels = {"v1": sam_flash.sam_global_attention,
                "v2": sam_flash.sam_global_attention_v2,
                "v3": sam_flash.sam_global_attention_v3,
                "v4": sam_flash.sam_global_attention_v4,
-               "v6": sam_flash.sam_global_attention_v6}
-    B, H, W, C = x.shape
+               "v6": sam_flash.sam_global_attention_v6,
+               "v7": sam_flash.sam_global_attention_v7,
+               "v8": sam_flash.sam_global_attention_v8}
+    B, H, W, C3 = qkv.shape
+    C = C3 // 3
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = jnp.split(qkv.reshape(B, H * W, C3), 3, axis=-1)
 
     def heads(t):
         return t.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(
@@ -194,20 +200,18 @@ def _flash_global_attention(
     out = kernel(
         heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], H
     )
-    out = out.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(
-        B, H * W, C)
-    return (qdense(out, bp, "wo") + bp["bo"]).reshape(B, H, W, C)
+    return out.reshape(B, nh, H * W, hd).transpose(0, 2, 1, 3).reshape(
+        B, H, W, C)
 
 
-def _flash_window_attention(
-    x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
+def _flash_window_core(
+    qkv: jnp.ndarray, bp: dict, cfg: SamEncoderConfig
 ) -> jnp.ndarray:
-    """Windowed attention through the per-window Pallas kernel.
-
-    The qkv / output projections run on the dense (B*H*W, C) token layout
-    (full 128-row MXU tiles) *before/after* window partitioning -- the
-    projections are per-token, so partition order is free.
-    """
+    """Windowed attention core (pre-output-projection) through the
+    per-window Pallas kernel.  The qkv / output projections run on the
+    dense (B*H*W, C) token layout (full 128-row MXU tiles) outside the
+    window partitioning -- the projections are per-token, so partition
+    order is free.  ``qkv``: (B, H, W, 3C) -> (B, H, W, C)."""
     from flmm_tpu.ops import sam_flash
 
     wkernel = {"v1": sam_flash.sam_window_attention,
@@ -215,12 +219,14 @@ def _flash_window_attention(
                "v3": sam_flash.sam_window_attention_v3,
                "v4": sam_flash.sam_window_attention_v4,
                "v5": sam_flash.sam_window_attention_v5,
-               "v6": sam_flash.sam_window_attention_v6}[cfg.window_kernel]
-    B, H, W, C = x.shape
+               "v6": sam_flash.sam_window_attention_v6,
+               "v7": sam_flash.sam_window_attention_v7,
+               "v8": sam_flash.sam_window_attention_v8,
+               "v9": sam_flash.sam_window_attention_v9}[cfg.window_kernel]
+    B, H, W, C3 = qkv.shape
+    C = C3 // 3
     ws = cfg.window_size
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv = qdense(x.reshape(B, H * W, C), bp, "wqkv") + bp["bqkv"]
-    qkv = qkv.reshape(B, H, W, 3 * C)
     pad_h = (ws - H % ws) % ws
     pad_w = (ws - W % ws) % ws
     qkvp = jnp.pad(qkv, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
@@ -241,9 +247,7 @@ def _flash_window_attention(
         nw, ws * ws, C)
     out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
-    out = out[:, :H, :W]
-    return (qdense(out.reshape(B, H * W, C), bp, "wo") + bp["bo"]).reshape(
-        B, H, W, C)
+    return out[:, :H, :W]
 
 
 def _ln_mlp_residual(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig):
@@ -267,15 +271,41 @@ def _ln_mlp_residual(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig):
 
 
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
+    flash = (cfg.flash_window if windowed else
+             (cfg.flash_global and x.shape[1] == x.shape[2]
+              and (x.shape[1] * x.shape[2]) % 128 == 0))
+    if flash:
+        B, H, W, C = x.shape
+        # fused kernels need plain (non-int8) weights and tiling shapes
+        fused = (
+            cfg.fused_mlp and "wqkv" in bp and "w1" in bp["mlp"]
+            and jax.default_backend() == "tpu"
+            and C % 128 == 0 and bp["mlp"]["w1"].shape[1] % 512 == 0
+        )
+        if fused:
+            from flmm_tpu.ops.fused_block import fused_ln_qkv
+
+            qkv = fused_ln_qkv(
+                x, bp["ln1_w"], bp["ln1_b"], bp["wqkv"], bp["bqkv"],
+                eps=cfg.ln_eps)
+        else:
+            y = layer_norm(x, bp["ln1_w"], bp["ln1_b"], cfg.ln_eps)
+            qkv = (qdense(y.reshape(B, H * W, C), bp, "wqkv")
+                   + bp["bqkv"]).reshape(B, H, W, 3 * C)
+        core = _flash_window_core if windowed else _flash_global_core
+        attn = core(qkv.reshape(B, H, W, 3 * C), bp, cfg)
+        if fused:
+            from flmm_tpu.ops.fused_block import fused_proj_ln_mlp
+
+            mlp = bp["mlp"]
+            return fused_proj_ln_mlp(
+                x, attn, bp["wo"], bp["bo"], bp["ln2_w"], bp["ln2_b"],
+                mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"], eps=cfg.ln_eps)
+        out = (qdense(attn.reshape(B, H * W, C), bp, "wo")
+               + bp["bo"]).reshape(B, H, W, C)
+        return _ln_mlp_residual(x + out, bp, cfg)
     shortcut = x
     x = layer_norm(x, bp["ln1_w"], bp["ln1_b"], cfg.ln_eps)
-    if not windowed and cfg.flash_global and x.shape[1] == x.shape[2] \
-            and (x.shape[1] * x.shape[2]) % 128 == 0:
-        x = _flash_global_attention(x, bp, cfg)
-        return _ln_mlp_residual(shortcut + x, bp, cfg)
-    if windowed and cfg.flash_window:
-        x = _flash_window_attention(x, bp, cfg)
-        return _ln_mlp_residual(shortcut + x, bp, cfg)
     if windowed:
         B, H, W, C = x.shape
         ws = cfg.window_size

@@ -78,6 +78,162 @@ def _kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         o_ref[...] = out.astype(o_ref.dtype)
 
 
+def _proj_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                 attn_ref, wo_ref, bo_ref,
+                 o_ref, lnx_ref, acc_ref, x_res_ref, *,
+                 eps: float, n_f: int, act: str):
+    """One (i, f) step of the proj-absorbing block tail: at f == 0 the
+    attention output tile is projected (``wo`` lives whole in VMEM) and
+    added to the shortcut, giving the residual base ``x`` that is both
+    LayerNormed for the MLP and kept in scratch for the final add."""
+    f = pl.program_id(1)
+
+    @pl.when(f == 0)
+    def _():
+        x = x_ref[...].astype(jnp.float32)
+        x = x + jnp.dot(attn_ref[...], wo_ref[...],
+                        preferred_element_type=jnp.float32)
+        x = x + bo_ref[...].astype(jnp.float32)
+        x_res_ref[...] = x
+        mu = x.mean(axis=1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=1, keepdims=True)
+        y = (x - mu) * jax.lax.rsqrt(var + eps)
+        y = y * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+            jnp.float32)
+        lnx_ref[...] = y.astype(lnx_ref.dtype)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = jnp.dot(lnx_ref[...], w1_ref[...],
+                preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    h = _ACTS[act](h).astype(x_ref.dtype)
+    acc_ref[...] += jnp.dot(h, w2_ref[...],
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(f == n_f - 1)
+    def _():
+        out = x_res_ref[...] + acc_ref[...] + b2_ref[...].astype(jnp.float32)
+        o_ref[...] = out.astype(o_ref.dtype)
+
+
+def fused_proj_ln_mlp(
+    shortcut: jnp.ndarray, attn: jnp.ndarray,
+    wo: jnp.ndarray, bo: jnp.ndarray,
+    ln_w: jnp.ndarray, ln_b: jnp.ndarray,
+    w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+    eps: float = 1e-6, block_n: int = 256, block_f: int = 512,
+    act: str = "gelu", interpret: bool = False,
+) -> jnp.ndarray:
+    """``x = shortcut + attn @ wo + bo;  return x + W2(act(W1 LN(x)))``.
+
+    The whole post-attention tail of a pre-norm transformer block in one
+    kernel: neither the projected attention output, the residual base,
+    nor the (N, F) hidden activation ever touch HBM.
+
+    Args:
+      shortcut, attn: ``(..., C)``.
+      wo: ``(C, C)`` attention output projection (whole in VMEM).
+    """
+    shape = shortcut.shape
+    C = shape[-1]
+    F = w1.shape[1]
+    xf = shortcut.reshape(-1, C)
+    af = attn.reshape(-1, C)
+    N = xf.shape[0]
+    block_n = min(block_n, N)
+    block_f = min(block_f, F)
+    pad_n = (block_n - N % block_n) % block_n
+    if pad_n:
+        xf = jnp.pad(xf, ((0, pad_n), (0, 0)))
+        af = jnp.pad(af, ((0, pad_n), (0, 0)))
+    assert F % block_f == 0, (F, block_f)
+    n_f = F // block_f
+
+    kernel = functools.partial(_proj_kernel, eps=eps, n_f=n_f, act=act)
+    np_ = N + pad_n
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // block_n, n_f),
+        in_specs=[
+            pl.BlockSpec((block_n, C), lambda i, f: (i, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((C, block_f), lambda i, f: (0, f)),
+            pl.BlockSpec((1, block_f), lambda i, f: (0, f)),
+            pl.BlockSpec((block_f, C), lambda i, f: (f, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((block_n, C), lambda i, f: (i, 0)),
+            pl.BlockSpec((C, C), lambda i, f: (0, 0)),
+            pl.BlockSpec((1, C), lambda i, f: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, C), lambda i, f: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, C), shortcut.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_n, C), shortcut.dtype),
+            pltpu.VMEM((block_n, C), jnp.float32),
+            pltpu.VMEM((block_n, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xf, ln_w.reshape(1, C), ln_b.reshape(1, C), w1, b1.reshape(1, F),
+      w2, b2.reshape(1, C), af, wo, bo.reshape(1, C))
+    return out[:N].reshape(shape)
+
+
+def _ln_qkv_kernel(x_ref, lnw_ref, lnb_ref, w_ref, b_ref, o_ref, *,
+                   eps: float):
+    """One token-tile step: ``LN(x) @ wqkv + b``."""
+    x = x_ref[...].astype(jnp.float32)
+    mu = x.mean(axis=1, keepdims=True)
+    var = ((x - mu) ** 2).mean(axis=1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    y = y * lnw_ref[...].astype(jnp.float32) + lnb_ref[...].astype(
+        jnp.float32)
+    o = jnp.dot(y.astype(x_ref.dtype), w_ref[...],
+                preferred_element_type=jnp.float32)
+    o_ref[...] = (o + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_ln_qkv(
+    x: jnp.ndarray, ln_w: jnp.ndarray, ln_b: jnp.ndarray,
+    w: jnp.ndarray, b: jnp.ndarray,
+    eps: float = 1e-6, block_n: int = 256, interpret: bool = False,
+) -> jnp.ndarray:
+    """``LN(x) @ w + b`` without the LN round-trip to HBM.
+
+    Args:
+      x: ``(..., C)``; w: ``(C, P)`` (e.g. the 3C qkv projection).
+
+    Returns ``(..., P)``.
+    """
+    shape = x.shape
+    C = shape[-1]
+    P = w.shape[1]
+    xf = x.reshape(-1, C)
+    N = xf.shape[0]
+    block_n = min(block_n, N)
+    pad_n = (block_n - N % block_n) % block_n
+    if pad_n:
+        xf = jnp.pad(xf, ((0, pad_n), (0, 0)))
+    np_ = N + pad_n
+
+    kernel = functools.partial(_ln_qkv_kernel, eps=eps)
+    out = pl.pallas_call(
+        kernel,
+        grid=(np_ // block_n,),
+        in_specs=[
+            pl.BlockSpec((block_n, C), lambda i: (i, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((1, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, P), lambda i: (0, 0)),
+            pl.BlockSpec((1, P), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_n, P), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, P), x.dtype),
+        interpret=interpret,
+    )(xf, ln_w.reshape(1, C), ln_b.reshape(1, C), w, b.reshape(1, P))
+    return out[:N].reshape(shape[:-1] + (P,))
+
+
 def fused_ln_mlp(
     x: jnp.ndarray, ln_w: jnp.ndarray, ln_b: jnp.ndarray,
     w1: jnp.ndarray, b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,

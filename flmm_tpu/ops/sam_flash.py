@@ -187,6 +187,247 @@ def sam_window_attention_v6(
     return out[:, :T]
 
 
+def _window_kernel_v7(q_ref, k_ref, v_ref, o_ref, *,
+                      side: int, hd: int, valid: int, group: int):
+    """v6's layout discipline (no XLA-side transposes, in-kernel ``.T``)
+    with the bias expansion folded INTO the score matmul: the augmented
+    key matrix ``b = [k | sel_h | sel_w]`` is assembled in VMEM by adding
+    an iota-built one-hot mask to the zero-lane-padded keys, so scores and
+    both decomposed rel-pos biases come out of ONE ``a @ b.T`` with a
+    single 128-wide K tile -- 8 MXU passes/window vs v6's 12.  Unlike v3
+    (which measured slower than v6), no operand is transposed by XLA and
+    ``k`` rides to VMEM in its natural layout."""
+    tp = q_ref.shape[1]
+    kp = q_ref.shape[2]
+    j = jax.lax.broadcasted_iota(jnp.int32, (tp, kp), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (tp, kp), 1)
+    in_win = j < valid
+    sel_h = (c >= hd) & (c < hd + side) & ((c - hd) == j // side)
+    sel_w = (c >= hd + side) & (c < hd + 2 * side) & \
+        ((c - hd - side) == (j % side))
+    sel = ((sel_h | sel_w) & in_win).astype(k_ref.dtype)
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
+
+    for w in range(group):
+        b = k_ref[w] + sel
+        s = jnp.dot(q_ref[w], b.T, preferred_element_type=jnp.float32)
+        s = jnp.where(col_ok, s, -1e30)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o_ref[w] = (
+            jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                    preferred_element_type=jnp.float32)
+            / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def sam_window_attention_v7(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v7 (see :func:`_window_kernel_v7`).
+    Same contract as :func:`sam_window_attention`."""
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, tp - T), (0, kp - ka)))
+    kpad = jnp.pad(k, ((0, 0), (0, tp - T), (0, kp - hd)))
+    vp = jnp.pad(v, ((0, 0), (0, tp - T), (0, 0)))
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(_window_kernel_v7, side=side, hd=hd,
+                               valid=T, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(a, kpad, vp)
+    return out[:, :T]
+
+
+def _window_kernel_v8(q_ref, k_ref, v_ref, o_ref, *,
+                      valid: int, group: int):
+    """v7 with the one-hot selection columns pre-added to the keys by XLA
+    (an elementwise add fused into the lane pad -- still no transposes),
+    so the body is one pure augmented-K matmul + softmax + pv."""
+    tp = q_ref.shape[1]
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
+    for w in range(group):
+        s = jnp.dot(q_ref[w], k_ref[w].T, preferred_element_type=jnp.float32)
+        s = jnp.where(col_ok, s, -1e30)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o_ref[w] = (
+            jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                    preferred_element_type=jnp.float32)
+            / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def sam_window_attention_v8(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v8 (see :func:`_window_kernel_v8`).
+    Same contract as :func:`sam_window_attention`."""
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+    bias_w = jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                        preferred_element_type=jnp.float32).reshape(G, T, side)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, tp - T), (0, kp - ka)))
+
+    j = jnp.arange(T)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)  # (side, T)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.concatenate([selh, selw], axis=0).T  # (T, 2*side)
+    sel = jnp.pad(sel, ((0, tp - T), (hd, kp - ka)))  # lanes hd..hd+2*side
+    kaug = jnp.pad(k, ((0, 0), (0, tp - T), (0, kp - hd)))
+    kaug = kaug + sel[None]
+    vp = jnp.pad(v, ((0, 0), (0, tp - T), (0, 0)))
+
+    if group is None:
+        group = 16 if G % 16 == 0 else (8 if G % 8 == 0 else 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(_window_kernel_v8, valid=T, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(a, kaug, vp)
+    return out[:, :T]
+
+
+def _window_kernel_v9(q_ref, k_ref, v_ref, o_ref, *,
+                      valid: int, group: int):
+    """v8 with a base-2 softmax (operands pre-scaled by log2(e))."""
+    tp = q_ref.shape[1]
+    col_ok = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1) < valid
+    for w in range(group):
+        s = jnp.dot(q_ref[w], k_ref[w].T, preferred_element_type=jnp.float32)
+        s = jnp.where(col_ok, s, -1e30)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o_ref[w] = (
+            jnp.dot(p.astype(v_ref.dtype), v_ref[w],
+                    preferred_element_type=jnp.float32)
+            / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+
+def sam_window_attention_v9(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, group: int | None = None,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention, v9: v8's pure augmented-K matmul with a
+    base-2 softmax.  Same contract as :func:`sam_window_attention`."""
+    G, T, hd = q.shape
+    assert T == side * side
+    tp = ((T + 15) // 16) * 16
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = (jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                         preferred_element_type=jnp.float32)
+              * _LOG2E).reshape(G, T, side)
+    bias_w = (jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                         preferred_element_type=jnp.float32)
+              * _LOG2E).reshape(G, T, side)
+
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, tp - T), (0, kp - ka)))
+
+    j = jnp.arange(T)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.concatenate([selh, selw], axis=0).T  # (T, 2*side); the bias
+    # lanes of ``a`` already carry log2(e), so the selection stays exactly 1
+    sel = jnp.pad(sel.astype(q.dtype), ((0, tp - T), (hd, kp - ka)))
+    kaug = jnp.pad(k, ((0, 0), (0, tp - T), (0, kp - hd)))
+    kaug = kaug + sel[None]
+    vp = jnp.pad(v, ((0, 0), (0, tp - T), (0, 0)))
+
+    if group is None:  # 25 = one image x head of 64-grid windows; group 32
+        # overflows the 16 MB VMEM scoped allocation
+        group = next((g for g in (25, 16, 8) if G % g == 0), 1)
+    assert G % group == 0, (G, group)
+    kernel = functools.partial(_window_kernel_v9, valid=T, group=group)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G // group,),
+        in_specs=[
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, kp), lambda g: (g, 0, 0)),
+            pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, tp, hd), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, tp, hd), q.dtype),
+        interpret=interpret,
+    )(a, kaug, vp)
+    return out[:, :T]
+
+
 def _window_kernel_v2(q_ref, kt_ref, v_ref, bias_ref, o_ref, *,
                       group: int):
     """A group of windows per grid step; bias arrives pre-expanded
@@ -842,6 +1083,146 @@ def sam_global_attention_v6(
     b = jnp.pad(b, ((0, 0), (0, kp - ka), (0, 0)))
 
     kernel = functools.partial(_global_kernel_v6, chunks=chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, v)
+    return out
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _global_kernel_v7(a_ref, b_ref, v_ref, o_ref):
+    """v3 with a base-2 softmax: operands arrive pre-scaled by log2(e), so
+    ``exp2`` (the native VPU transcendental) replaces ``exp`` (~6 VPU ops).
+    softmax(s) == exp2-softmax(s*log2e) exactly."""
+    s = jnp.dot(a_ref[0], b_ref[0], preferred_element_type=jnp.float32)
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = p.sum(axis=1, keepdims=True)
+    o = jnp.dot(p.astype(v_ref.dtype), v_ref[0],
+                preferred_element_type=jnp.float32)
+    o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _global_kernel_v8(a_ref, b_ref, v_ref, o_ref, *, chunks: int):
+    """v6's software-pipelined chunks with the v7 base-2 softmax."""
+    a = a_ref[0]
+    b = b_ref[0]
+    vv = v_ref[0]
+    n = a.shape[0] // chunks
+
+    def score(i):
+        return jnp.dot(a[i * n:(i + 1) * n], b,
+                       preferred_element_type=jnp.float32)
+
+    s_next = score(0)
+    outs = []
+    for i in range(chunks):
+        s = s_next
+        if i + 1 < chunks:
+            s_next = score(i + 1)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        o = jnp.dot(p.astype(vv.dtype), vv,
+                    preferred_element_type=jnp.float32)
+        outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+def _global_augmented_operands(q, k, v, rel_pos_h, rel_pos_w, side,
+                               log2_domain: bool):
+    """Shared XLA-side prep for the augmented-K global kernels: returns
+    ``a = [q*scale | bias_h | bias_w]`` (lane-padded) and
+    ``b = [k^T ; sel_h ; sel_w]``; with ``log2_domain`` every score term
+    is additionally scaled by log2(e) for base-2 softmax kernels."""
+    G, S, hd = q.shape
+    ka = hd + 2 * side
+    kp = ((ka + 127) // 128) * 128
+    scale = 1.0 / math.sqrt(hd)
+    mult = _LOG2E if log2_domain else 1.0
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(q.dtype)
+    rw = rel_pos_w[coords].astype(q.dtype)
+    qg = q.reshape(G, side, side, hd)
+    bias_h = (jnp.einsum("gyxd,ykd->gyxk", qg, rh,
+                         preferred_element_type=jnp.float32)
+              * mult).reshape(G, S, side)
+    bias_w = (jnp.einsum("gyxd,xkd->gyxk", qg, rw,
+                         preferred_element_type=jnp.float32)
+              * mult).reshape(G, S, side)
+
+    qs = (q.astype(jnp.float32) * (scale * mult)).astype(q.dtype)
+    a = jnp.concatenate(
+        [qs, bias_h.astype(q.dtype), bias_w.astype(q.dtype)], axis=-1)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, kp - ka)))
+
+    kt = jnp.swapaxes(k, 1, 2)
+    j = jnp.arange(S)
+    r = jnp.arange(side)
+    selh = (r[:, None] == (j // side)[None, :]).astype(q.dtype)
+    selw = (r[:, None] == (j % side)[None, :]).astype(q.dtype)
+    sel = jnp.broadcast_to(
+        jnp.concatenate([selh, selw], axis=0)[None], (G, 2 * side, S))
+    b = jnp.concatenate([kt, sel], axis=1)
+    b = jnp.pad(b, ((0, 0), (0, kp - ka), (0, 0)))
+    return a, b, kp
+
+
+def sam_global_attention_v7(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 256,
+) -> jnp.ndarray:
+    """Global ViTDet attention, v7: augmented-K fused scores+bias with a
+    base-2 softmax (see :func:`_global_kernel_v7`).  Same contract as
+    :func:`sam_global_attention`."""
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    a, b, kp = _global_augmented_operands(
+        q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
+    out = pl.pallas_call(
+        _global_kernel_v7,
+        grid=(G, S // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, v)
+    return out
+
+
+def sam_global_attention_v8(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 512,
+    chunks: int = 8,
+) -> jnp.ndarray:
+    """Global ViTDet attention, v8: v6's pipelined chunks + base-2
+    softmax.  Same contract as :func:`sam_global_attention`."""
+    G, S, hd = q.shape
+    block_q = min(block_q, S)
+    assert S == side * side and S % block_q == 0
+    assert block_q % chunks == 0 and (block_q // chunks) % 8 == 0
+    a, b, kp = _global_augmented_operands(
+        q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
+    kernel = functools.partial(_global_kernel_v8, chunks=chunks)
     out = pl.pallas_call(
         kernel,
         grid=(G, S // block_q),

@@ -1,0 +1,264 @@
+"""Microbenchmark for the SAM encoder Pallas kernels and encoder stages.
+
+Times each window/global attention variant plus the full encoder on the
+current backend (bs8 SAM ViT-L geometry by default) so kernel work can be
+measured, not guessed.  Usage::
+
+    python scripts/kernel_bench.py [--what window,global,encoder] [--bs 8]
+
+Prints one JSON line per measurement: {"op", "variant", "ms"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, iters: int = 10, warmup: int = 2) -> float:
+    """Time ``fn(*args)`` by chaining ``iters`` calls in ONE jitted graph.
+
+    The relay backend can return from ``block_until_ready`` before compute
+    finishes, so host-side loops under-measure.  Each iteration perturbs
+    the first argument with a data-dependent epsilon from the previous
+    output (CSE/elision-proof), and a scalar checksum is fetched at the
+    end to serialise on true completion.
+    """
+    import numpy as np
+
+    @jax.jit
+    def many(*args):
+        first, rest = args[0], args[1:]
+
+        def body(_, x):
+            out = fn(x, *rest)
+            eps = jnp.sum(out[..., :1]).astype(first.dtype) * 1e-30
+            return x + eps
+
+        final = jax.lax.fori_loop(0, iters, body, first)
+        return jnp.sum(fn(final, *rest))
+
+    for _ in range(warmup):
+        float(np.asarray(many(*args)))
+    t0 = time.perf_counter()
+    float(np.asarray(many(*args)))
+    total = time.perf_counter() - t0
+    return total / (iters + 1) * 1e3
+
+
+def timeit_fetch(fn, x, *rest, iters: int = 5, warmup: int = 2) -> float:
+    """bench.py-style timing for big subgraphs: one compile, distinct
+    inputs per iteration (the relay memoizes identical dispatches), a
+    scalar checksum fetched per iteration to serialise on completion."""
+    import numpy as np
+
+    jfn = jax.jit(lambda x, *r: jnp.sum(fn(x, *r)[..., :1]))
+    xs = [x + 0.001 * (i + 1) for i in range(warmup + iters)]
+    for xi in xs[:warmup]:
+        float(np.asarray(jfn(xi, *rest)))
+    t0 = time.perf_counter()
+    for xi in xs[warmup:]:
+        float(np.asarray(jfn(xi, *rest)))
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench_window(bs: int, variants: list[str]):
+    from flmm_tpu.ops import sam_flash
+
+    side, hd, nh = 14, 64, 16
+    grid, ws = 64, 14
+    nw_per_img = ((grid + ws - 1) // ws) ** 2  # 25
+    G = bs * nw_per_img * nh
+    T = side * side
+    key = jax.random.key(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (G, T, hd),
+                                 jnp.bfloat16) for i in range(3))
+    rh = jax.random.normal(jax.random.fold_in(key, 3), (2 * side - 1, hd),
+                           jnp.bfloat16) * 0.02
+    rw = jax.random.normal(jax.random.fold_in(key, 4), (2 * side - 1, hd),
+                           jnp.bfloat16) * 0.02
+    ref = None
+    for name in variants:
+        fn = getattr(sam_flash, "sam_window_attention" +
+                     ("" if name == "v1" else f"_{name}"))
+        jfn = jax.jit(lambda q, k, v, f=fn: f(q, k, v, rh, rw, side))
+        try:
+            ms = timeit(jfn, q, k, v)
+            out = np.asarray(jfn(q, k, v), np.float32)
+            if ref is None:
+                ref = out
+            err = float(np.max(np.abs(out - ref)))
+            print(json.dumps({"op": "window", "variant": name,
+                              "ms": round(ms, 2), "max_err_vs_v1": err}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "window", "variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
+
+def bench_global(bs: int, variants: list[str]):
+    from flmm_tpu.ops import sam_flash
+
+    side, hd, nh = 64, 64, 16
+    G = bs * nh
+    S = side * side
+    key = jax.random.key(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (G, S, hd),
+                                 jnp.bfloat16) for i in range(3))
+    rh = jax.random.normal(jax.random.fold_in(key, 3), (2 * side - 1, hd),
+                           jnp.bfloat16) * 0.02
+    rw = jax.random.normal(jax.random.fold_in(key, 4), (2 * side - 1, hd),
+                           jnp.bfloat16) * 0.02
+    ref = None
+    for name in variants:
+        fn = getattr(sam_flash, "sam_global_attention" +
+                     ("" if name == "v1" else f"_{name}"))
+        jfn = jax.jit(lambda q, k, v, f=fn: f(q, k, v, rh, rw, side))
+        try:
+            ms = timeit(jfn, q, k, v, iters=5)
+            out = np.asarray(jfn(q, k, v), np.float32)
+            if ref is None:
+                ref = out
+            err = float(np.max(np.abs(out - ref)))
+            print(json.dumps({"op": "global", "variant": name,
+                              "ms": round(ms, 2), "max_err_vs_v1": err}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "global", "variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
+
+
+def bench_encoder(bs: int, window_kernel: str, global_kernel: str):
+    import dataclasses
+
+    from flmm_tpu.configs.deepseek_vl import sam_vit_l
+    from flmm_tpu.models.sam import image_encoder
+
+    cfg = sam_vit_l().encoder
+    cfg = dataclasses.replace(cfg, window_kernel=window_kernel,
+                              global_kernel=global_kernel)
+    params = image_encoder.init_params(cfg, jax.random.key(0))
+    pixels = jax.random.normal(jax.random.key(1),
+                               (bs, cfg.img_size, cfg.img_size, 3),
+                               jnp.bfloat16)
+    fn = lambda px, p: image_encoder.forward(p, cfg, px)
+    ms = timeit_fetch(fn, pixels, params, iters=5)
+    print(json.dumps({"op": "encoder", "variant":
+                      f"w={window_kernel},g={global_kernel}",
+                      "ms": round(ms, 2)}), flush=True)
+
+
+def bench_tower(bs: int):
+    """SigLIP-L/384 tower (the deepseek flagship's vision tower) total and
+    attention-subgraph time, in-graph chained."""
+    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
+    from flmm_tpu.models.vision import vit
+
+    cfg = deepseek_vl_1_3b().vision
+    params = vit.init_params(cfg, jax.random.key(0))
+    pixels = jax.random.normal(jax.random.key(1),
+                               (bs, cfg.image_size, cfg.image_size, 3),
+                               jnp.bfloat16)
+    fn = lambda px, p: vit.forward(p, cfg, px)
+    ms = timeit_fetch(fn, pixels, params, iters=5)
+    print(json.dumps({"op": "tower", "variant": "total",
+                      "ms": round(ms, 2)}), flush=True)
+
+    # attention subgraph alone at tower geometry (S=729)
+    S, nh, hd = cfg.seq_len, cfg.num_heads, cfg.head_dim
+    key = jax.random.key(2)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i),
+                                 (bs, nh, S, hd), jnp.bfloat16)
+               for i in range(3))
+
+    def attn(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                       preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s / jnp.sqrt(float(hd)), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+    ms = timeit_fetch(attn, q, k, v, iters=5)
+    print(json.dumps({"op": "tower_attn", "variant": "xla",
+                      "ms": round(ms, 2)}), flush=True)
+    # padded to a 128-multiple sequence: does alignment change XLA's rate?
+    Sp = (S + 127) // 128 * 128
+    qp, kp, vp = (jnp.pad(t, ((0, 0), (0, 0), (0, Sp - S), (0, 0)))
+                  for t in (q, k, v))
+    ms = timeit_fetch(attn, qp, kp, vp, iters=5)
+    print(json.dumps({"op": "tower_attn", "variant": "xla_pad128",
+                      "ms": round(ms, 2)}), flush=True)
+
+
+def bench_decoder(bs: int, seq_len: int = 672):
+    """Frozen 1.3B decoder forward with capture-merge at bench geometry."""
+    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
+    from flmm_tpu.models.llm import decoder
+
+    cfg_full = deepseek_vl_1_3b()
+    cfg = cfg_full.llm
+    params = decoder.init_params(cfg, jax.random.key(0))
+    key = jax.random.key(1)
+    h = jax.random.normal(key, (bs, seq_len, cfg.hidden_size), cfg.dtype)
+    mask = jnp.ones((bs, seq_len), bool)
+    pos = jnp.broadcast_to(jnp.arange(seq_len), (bs, seq_len))
+    M = 8
+    merge = jax.nn.one_hot(
+        jnp.arange(seq_len) % M, M, dtype=jnp.float32) / (seq_len / M)
+    merge = jnp.broadcast_to(merge, (bs, seq_len, M))
+
+    def fn(h, p):
+        out = decoder.forward_capture(
+            p, cfg, h, mask,
+            img_start=cfg_full.img_start, n_img=cfg_full.num_img_tokens,
+            merge_matrix=merge, merge="mean", position_ids=pos)
+        return out["attn"]
+
+    ms = timeit_fetch(fn, h, params, iters=5)
+    print(json.dumps({"op": "decoder", "variant": f"S={seq_len}",
+                      "ms": round(ms, 2)}), flush=True)
+
+
+def bench_rtt():
+    """Fetch round-trip floor: a trivial op timed the same way."""
+    x = jnp.ones((8, 8), jnp.float32)
+    ms = timeit_fetch(lambda x: x * 2.0, x, iters=10)
+    print(json.dumps({"op": "rtt_floor", "ms": round(ms, 2)}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="window,global")
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--window-variants", default="v1,v6,v7")
+    ap.add_argument("--global-variants", default="v3,v6")
+    ap.add_argument("--window-kernel", default="v6")
+    ap.add_argument("--global-kernel", default="v6")
+    args = ap.parse_args()
+    what = args.what.split(",")
+    if "window" in what:
+        bench_window(args.bs, args.window_variants.split(","))
+    if "global" in what:
+        bench_global(args.bs, args.global_variants.split(","))
+    if "encoder" in what:
+        bench_encoder(args.bs, args.window_kernel, args.global_kernel)
+    if "tower" in what:
+        bench_tower(args.bs)
+    if "decoder" in what:
+        bench_decoder(args.bs)
+    if "rtt" in what:
+        bench_rtt()
+
+
+if __name__ == "__main__":
+    main()

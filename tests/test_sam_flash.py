@@ -230,3 +230,40 @@ def test_sam_flash_v6_parity_interpret():
         want = reference(q, k, v, rph, rpw, side)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-2, err_msg=fn.__name__)
+
+
+def test_sam_flash_v7v8v9_parity_interpret():
+    """v7/v8/v9 window + v7/v8 global: the augmented-K single-matmul and
+    base-2-softmax variants match the einsum reference (tighter than
+    v1-v6: the bias rides in the score matmul without a bf16 round-trip,
+    f32 inputs stay f32)."""
+    from flmm_tpu.ops.sam_flash import (
+        sam_global_attention_v7, sam_global_attention_v8,
+        sam_window_attention_v7, sam_window_attention_v8,
+        sam_window_attention_v9,
+    )
+
+    rng = np.random.default_rng(9)
+    for fn, side, hd, G, kw in (
+            (sam_global_attention_v7, 16, 32, 2, {"block_q": 64}),
+            (sam_global_attention_v8, 16, 32, 2,
+             {"block_q": 64, "chunks": 4}),
+            (sam_window_attention_v7, 7, 16, 3, {}),
+            (sam_window_attention_v8, 7, 16, 3, {}),
+            (sam_window_attention_v9, 7, 16, 3, {}),
+            (sam_window_attention_v9, 14, 64, 25, {"group": 25})):
+        T = side * side
+        q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        got = fn(q, k, v, rph, rpw, side, interpret=True, **kw)
+        want = reference(q, k, v, rph, rpw, side)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=fn.__name__)
