@@ -20,14 +20,19 @@ import jax.numpy as jnp
 
 
 def build(batch_size: int):
+    import os
+
     from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
     from flmm_tpu.data.synthetic import synthetic_batch
     from flmm_tpu.models.frozen import deepseek_vl as model
 
     # S=672 with the raw prompt layout (img_start=5): measured faster on
     # v5e than the 128-aligned flash-capture layout at this length (the
-    # capture kernel only wins at anyres scale; see configs/deepseek_vl)
-    cfg = deepseek_vl_1_3b()
+    # capture kernel only wins at anyres scale; see configs/deepseek_vl).
+    # BENCH_SAM_SIZE (default 1024 = reference-exact) selects the SAM
+    # reduced-resolution schedule for speed/accuracy-tradeoff measurement.
+    cfg = deepseek_vl_1_3b(
+        sam_img_size=int(os.environ.get("BENCH_SAM_SIZE", "1024")))
     params = model.init_params(cfg, jax.random.key(0))
     batch = jax.tree.map(
         jnp.asarray,

@@ -21,26 +21,42 @@ from flmm_tpu.models.sam.transformer import TwoWayConfig
 from flmm_tpu.models.vision.vit import ViTConfig
 
 
-def sam_vit_l(dtype=jnp.bfloat16, flash: bool = True) -> SamRefinerConfig:
+def sam_vit_l(dtype=jnp.bfloat16, flash: bool = True,
+              img_size: int = 1024) -> SamRefinerConfig:
     """SAM ViT-L refiner (reference build_sam.py:27-34).
 
     ``flash`` enables the Pallas attention kernels (TPU only; 2.5x encoder
     speedup measured on v5e with exact output parity).
+
+    ``img_size``: SAM input resolution.  1024 is the reference-exact
+    setting; smaller multiples of 16 enable the reduced-resolution
+    deployment schedule (the checkpoint converter resamples the absolute
+    pos-embed bicubically and the global rel-pos tables linearly, the
+    same interpolation the reference applies in get_rel_pos).  448 gives
+    a zero-padding 2x2 grid of 14x14 windows and ~5x fewer encoder
+    FLOPs; accuracy is a measured tradeoff, not parity.
     """
+    assert img_size % 16 == 0, img_size
+    grid = img_size // 16
     return SamRefinerConfig(
         encoder=SamEncoderConfig(
+            img_size=img_size,
             embed_dim=1024, depth=24, num_heads=16,
             global_attn_indexes=(5, 11, 17, 23), dtype=dtype,
             flash_global=flash, flash_window=flash,
         ),
-        prompt=PromptEncoderConfig(dtype=jnp.float32),
+        prompt=PromptEncoderConfig(
+            dtype=jnp.float32, image_embedding_size=grid,
+            input_image_size=img_size),
         decoder=MaskDecoderConfig(dtype=jnp.float32),
         use_text=True, use_mask=True, use_box=True, multimask_output=False,
+        prompt_size=4 * grid,
     )
 
 
 def deepseek_vl_1_3b(dtype=jnp.bfloat16,
-                     img_start: int = 5) -> DeepseekVLGroundingConfig:
+                     img_start: int = 5,
+                     sam_img_size: int = 1024) -> DeepseekVLGroundingConfig:
     """DeepSeek-VL-1.3B-chat grounding stack.
 
     LLM dims per deepseek-ai/deepseek-vl-1.3b-chat (DeepSeek-LLM 1.3B:
@@ -69,7 +85,7 @@ def deepseek_vl_1_3b(dtype=jnp.bfloat16,
     return DeepseekVLGroundingConfig(
         llm=llm, vision=vision,
         unet=UNetConfig(in_channels=24 * 16),
-        sam=sam_vit_l(dtype=dtype),
+        sam=sam_vit_l(dtype=dtype, img_size=sam_img_size),
         projector_depth=2,
         # prompt: BOS + 'User: ' prefix tokens then 576 placeholders; the
         # batch builders assert the (aligned) tokenizer-derived offset

@@ -38,10 +38,48 @@ def _attn(sd, prefix, dtype):
     }
 
 
+def resize_rel_pos(table: np.ndarray, target_len: int) -> np.ndarray:
+    """Linear-resample a ``(L, hd)`` decomposed rel-pos table to
+    ``(target_len, hd)`` -- exact semantics of the reference's
+    ``get_rel_pos`` F.interpolate(mode='linear', align_corners=False)
+    (segment_anything/modeling/image_encoder.py:292-308)."""
+    L = table.shape[0]
+    if L == target_len:
+        return table
+    # output i samples input coordinate (i + .5) * L/target - .5
+    coords = (np.arange(target_len) + 0.5) * (L / target_len) - 0.5
+    coords = np.clip(coords, 0.0, L - 1.0)
+    lo = np.floor(coords).astype(np.int64)
+    hi = np.minimum(lo + 1, L - 1)
+    t = (coords - lo)[:, None]
+    return table[lo] * (1.0 - t) + table[hi] * t
+
+
+def resize_pos_embed_2d(pos: np.ndarray, target_grid: int) -> np.ndarray:
+    """Bicubic-resample a ``(G, G, D)`` absolute pos-embed grid (same
+    torch-parity a=-0.75 bicubic used for the ViT towers)."""
+    import jax
+
+    G = pos.shape[0]
+    if G == target_grid:
+        return pos
+    from flmm_tpu.ops.resize import resize_bicubic
+
+    out = resize_bicubic(
+        jnp.asarray(pos, jnp.float32).transpose(2, 0, 1)[None],
+        (target_grid, target_grid))[0]
+    return np.asarray(jax.device_get(out)).transpose(1, 2, 0)
+
+
 def encoder_params(
     sd: Mapping[str, Any], cfg: SamEncoderConfig, prefix: str = "image_encoder.",
     dtype: Any = None,
 ) -> dict:
+    """Convert the encoder weights; when ``cfg`` asks for a different
+    input resolution than the checkpoint's (e.g. the reduced-resolution
+    schedule, configs/deepseek_vl.sam_vit_l(img_size=...)), the absolute
+    pos-embed is bicubic-resampled and the global blocks' rel-pos tables
+    linear-resampled to ``2*grid - 1`` (window tables are size-invariant)."""
     dtype = dtype or cfg.dtype
 
     def get(name):
@@ -50,6 +88,7 @@ def encoder_params(
     blocks = []
     for i in range(cfg.depth):
         b = f"blocks.{i}."
+        size = cfg.grid if i in cfg.global_attn_indexes else cfg.window_size
         blocks.append({
             "ln1_w": jnp.asarray(get(b + "norm1.weight"), dtype),
             "ln1_b": jnp.asarray(get(b + "norm1.bias"), dtype),
@@ -65,15 +104,20 @@ def encoder_params(
                 "w2": jnp.asarray(get(b + "mlp.lin2.weight").T, dtype),
                 "b2": jnp.asarray(get(b + "mlp.lin2.bias"), dtype),
             },
-            "rel_pos_h": jnp.asarray(get(b + "attn.rel_pos_h"), dtype),
-            "rel_pos_w": jnp.asarray(get(b + "attn.rel_pos_w"), dtype),
+            "rel_pos_h": jnp.asarray(
+                resize_rel_pos(get(b + "attn.rel_pos_h"), 2 * size - 1),
+                dtype),
+            "rel_pos_w": jnp.asarray(
+                resize_rel_pos(get(b + "attn.rel_pos_w"), 2 * size - 1),
+                dtype),
         })
     return {
         "patch_kernel": jnp.asarray(
             get("patch_embed.proj.weight").transpose(2, 3, 1, 0), dtype
         ),
         "patch_bias": jnp.asarray(get("patch_embed.proj.bias"), dtype),
-        "pos_embed": jnp.asarray(get("pos_embed")[0], dtype),
+        "pos_embed": jnp.asarray(
+            resize_pos_embed_2d(get("pos_embed")[0], cfg.grid), dtype),
         "neck0_kernel": jnp.asarray(get("neck.0.weight").transpose(2, 3, 1, 0), dtype),
         "neck0_ln_w": jnp.asarray(get("neck.1.weight"), dtype),
         "neck0_ln_b": jnp.asarray(get("neck.1.bias"), dtype),

@@ -965,8 +965,8 @@ def sam_global_attention_v4(
     contract as :func:`sam_global_attention`; softmax weights carry bf16
     (~0.4%) rounding, in line with the bf16 tower itself."""
     G, S, hd = q.shape
-    block_q = min(block_q, S)
-    assert S == side * side and S % block_q == 0
+    assert S == side * side
+    block_q, _ = _pick_block_q(S, block_q)
     ka = hd + 2 * side
     kp = ((ka + 127) // 128) * 128
     scale = 1.0 / math.sqrt(hd)
@@ -1051,9 +1051,8 @@ def sam_global_attention_v6(
     software-pipelined softmax chunks.  Same contract as
     :func:`sam_global_attention`."""
     G, S, hd = q.shape
-    block_q = min(block_q, S)
-    assert S == side * side and S % block_q == 0
-    assert block_q % chunks == 0 and (block_q // chunks) % 8 == 0
+    assert S == side * side
+    block_q, chunks = _pick_block_q(S, block_q, chunks)
     ka = hd + 2 * side
     kp = ((ka + 127) // 128) * 128
     scale = 1.0 / math.sqrt(hd)
@@ -1099,6 +1098,19 @@ def sam_global_attention_v6(
 
 
 _LOG2E = 1.4426950408889634
+
+
+def _pick_block_q(S: int, want: int, chunks: int = 1) -> tuple[int, int]:
+    """Largest query-tile size <= ``want`` that divides S, shrinking
+    ``chunks`` if needed so each softmax chunk keeps 8-row alignment
+    (non-64 grids, e.g. the reduced-resolution SAM schedule)."""
+    for c in (chunks, chunks // 2, chunks // 4, 1):
+        if c < 1:
+            continue
+        for bq in range(min(want, S), 0, -8):
+            if S % bq == 0 and bq % c == 0 and (bq // c) % 8 == 0:
+                return bq, c
+    return S, 1
 
 
 def _global_kernel_v7(a_ref, b_ref, v_ref, o_ref):
@@ -1189,8 +1201,8 @@ def sam_global_attention_v7(
     base-2 softmax (see :func:`_global_kernel_v7`).  Same contract as
     :func:`sam_global_attention`."""
     G, S, hd = q.shape
-    block_q = min(block_q, S)
-    assert S == side * side and S % block_q == 0
+    assert S == side * side
+    block_q, _ = _pick_block_q(S, block_q)
     a, b, kp = _global_augmented_operands(
         q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
     out = pl.pallas_call(
@@ -1217,9 +1229,8 @@ def sam_global_attention_v8(
     """Global ViTDet attention, v8: v6's pipelined chunks + base-2
     softmax.  Same contract as :func:`sam_global_attention`."""
     G, S, hd = q.shape
-    block_q = min(block_q, S)
-    assert S == side * side and S % block_q == 0
-    assert block_q % chunks == 0 and (block_q // chunks) % 8 == 0
+    assert S == side * side
+    block_q, chunks = _pick_block_q(S, block_q, chunks)
     a, b, kp = _global_augmented_operands(
         q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
     kernel = functools.partial(_global_kernel_v8, chunks=chunks)
@@ -1259,8 +1270,8 @@ def sam_global_attention_v3(
     one-shot full-row softmax.  Same contract as
     :func:`sam_global_attention`."""
     G, S, hd = q.shape
-    block_q = min(block_q, S)
-    assert S == side * side and S % block_q == 0
+    assert S == side * side
+    block_q, _ = _pick_block_q(S, block_q)
     ka = hd + 2 * side
     kp = ((ka + 127) // 128) * 128
     scale = 1.0 / math.sqrt(hd)

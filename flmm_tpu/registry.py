@@ -148,7 +148,8 @@ def _import(path: str) -> Any:
 
 def resolve_family_setup(family: str, preset: str, tokenizer,
                          template: str | None = None,
-                         prompt: str | None = None, **cfg_kwargs):
+                         prompt: str | None = None,
+                         sam_size: int | None = None, **cfg_kwargs):
     """Mutually-consistent (config, RenderedPrompt, batch-spec kwargs).
 
     Derives ``img_start`` from the actual tokenisation of the family
@@ -172,14 +173,44 @@ def resolve_family_setup(family: str, preset: str, tokenizer,
         base = cfg.base if hasattr(cfg, "base") else cfg
         align = (128 if getattr(base.llm, "use_flash_capture", False)
                  else None)
+    if sam_size is not None and sam_size != base.sam.encoder.img_size:
+        cfg = with_sam_size(cfg, sam_size)
+        base = cfg.base if hasattr(cfg, "base") else cfg
     from flmm_tpu.data.processors import ProcessorConfig
 
     spec_kwargs = {"align_image_block": align,
                    "expected_img_start": base.img_start,
+                   "sam_size": base.sam.encoder.img_size,
+                   "prompt_size": base.sam.prompt_size,
                    "processor": ProcessorConfig(
                        size=base.input_size,
                        size_rule=FAMILY_SIZE_RULES[family])}
     return cfg, rp, spec_kwargs
+
+
+def with_sam_size(cfg, img_size: int):
+    """Rebuild a grounding config with the SAM refiner at a different
+    input resolution (the reduced-resolution deployment schedule; see
+    configs/deepseek_vl.sam_vit_l).  Threads the derived grid through the
+    prompt-encoder geometry and the dense-prompt resolution."""
+    import dataclasses
+
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    sam = base.sam
+    assert img_size % sam.encoder.patch_size == 0, img_size
+    grid = img_size // sam.encoder.patch_size
+    new_sam = dataclasses.replace(
+        sam,
+        encoder=dataclasses.replace(sam.encoder, img_size=img_size),
+        prompt=dataclasses.replace(
+            sam.prompt, image_embedding_size=grid,
+            input_image_size=img_size),
+        prompt_size=4 * grid,
+    )
+    new_base = dataclasses.replace(base, sam=new_sam)
+    if hasattr(cfg, "base"):
+        return dataclasses.replace(cfg, base=new_base)
+    return new_base
 
 
 def get_model(family: str):

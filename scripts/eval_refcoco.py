@@ -45,6 +45,8 @@ def main():
     p.add_argument("--preset", default="1_3b")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--sam-size", type=int, default=None,
+                   help="SAM input resolution override (reduced-resolution\n                   deployment schedule; default: config native, 1024)")
     p.add_argument("--clip-checkpoint", default=None,
                    help="CLIP tower checkpoint (mgm)")
     p.add_argument("--aux-checkpoint", default=None,
@@ -88,7 +90,8 @@ def main():
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     cfg, rendered_prompt, spec_kwargs = resolve_family_setup(
-        args.family, args.preset, tokenizer, template=args.template)
+        args.family, args.preset, tokenizer, template=args.template,
+        sam_size=args.sam_size)
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))

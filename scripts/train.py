@@ -45,6 +45,8 @@ def parse_args():
     p.add_argument("--checkpoint", default=None,
                    help="frozen LMM checkpoint dir")
     p.add_argument("--sam-checkpoint", default=None)
+    p.add_argument("--sam-size", type=int, default=None,
+                   help="SAM input resolution override (reduced-resolution\n                   deployment schedule; default: config native, 1024)")
     p.add_argument("--clip-checkpoint", default=None,
                    help="CLIP tower checkpoint (mgm)")
     p.add_argument("--aux-checkpoint", default=None,
@@ -235,6 +237,10 @@ def main():
     spec_kwargs = None
     if args.synthetic or not args.tokenizer:
         cfg = get_config(args.family, args.preset)
+        if args.sam_size:
+            from flmm_tpu.registry import with_sam_size
+
+            cfg = with_sam_size(cfg, args.sam_size)
     else:
         from transformers import AutoTokenizer
 
@@ -243,7 +249,7 @@ def main():
         cfg, rendered_prompt, spec_kwargs = resolve_family_setup(
             args.family, args.preset,
             AutoTokenizer.from_pretrained(args.tokenizer),
-            template=args.template)
+            template=args.template, sam_size=args.sam_size)
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
 

@@ -194,3 +194,21 @@ def test_concat_chunking_scores_every_expression():
     # split mode unaffected
     out_split = refcoco_to_sample(item, t, rp, concat=False)
     assert len(out_split) == 11
+
+
+def test_resolve_family_setup_sam_size():
+    """--sam-size threads the reduced-resolution SAM schedule through the
+    config AND the batch-spec geometry consistently."""
+    cfg, rp, spec_kwargs = resolve_family_setup(
+        "deepseek_vl", "1_3b", DeepseekTokenizer(), sam_size=448)
+    assert cfg.sam.encoder.img_size == 448
+    assert cfg.sam.prompt.image_embedding_size == 28
+    assert cfg.sam.prompt.input_image_size == 448
+    assert cfg.sam.prompt_size == 112
+    assert spec_kwargs["sam_size"] == 448
+    assert spec_kwargs["prompt_size"] == 112
+    # default: native geometry, spec matches
+    cfg, _, sk = resolve_family_setup(
+        "deepseek_vl", "1_3b", DeepseekTokenizer())
+    assert sk["sam_size"] == cfg.sam.encoder.img_size == 1024
+    assert sk["prompt_size"] == cfg.sam.prompt_size == 256

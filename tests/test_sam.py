@@ -234,3 +234,122 @@ def test_refiner_multimask_selection():
                                            cfg.prompt_size)
     assert np.isfinite(np.asarray(out["low_res_logits"])).all()
     assert out["iou_pred"].shape == (M,)
+
+
+def test_resize_rel_pos_matches_torch_interpolate():
+    """resize_rel_pos == the reference get_rel_pos resize
+    (image_encoder.py:292-308: F.interpolate mode='linear')."""
+    from flmm_tpu.convert.sam_weights import resize_rel_pos
+
+    rng = np.random.default_rng(5)
+    for L, target in ((127, 55), (27, 27), (7, 13), (31, 95)):
+        table = rng.standard_normal((L, 16)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.from_numpy(table).reshape(1, L, -1).permute(0, 2, 1),
+            size=target, mode="linear",
+        ).reshape(-1, target).permute(1, 0).numpy()
+        got = resize_rel_pos(table, target)
+        # torch interpolates in f32, resize_rel_pos in f64
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_reduced_resolution_sam_schedule():
+    """sam_vit_l(img_size=...) reduced-resolution schedule: converted
+    weights resample (pos-embed bicubic, global rel-pos linear), the
+    geometry threads through prompt/refiner configs, and encode+refine
+    run end-to-end at the new grid."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from flmm_tpu.configs.deepseek_vl import sam_vit_l
+    from flmm_tpu.convert.sam_weights import encoder_params
+    from flmm_tpu.models.mask_head import refiner
+    from flmm_tpu.models.sam import image_encoder as se
+    from flmm_tpu.models.sam import mask_decoder as smd
+    from flmm_tpu.models.sam import prompt_encoder as spe
+
+    # a small encoder standing in for the checkpoint at native "1024-like"
+    # geometry (img 64 -> grid 4), loaded into a half-resolution config
+    base = sam_vit_l(dtype=jnp.float32, flash=False, img_size=1024)
+    small = dataclasses.replace(
+        base.encoder, img_size=64, patch_size=16, embed_dim=32, depth=3,
+        num_heads=4, mlp_ratio=2.0, out_chans=16, window_size=2,
+        global_attn_indexes=(1,))
+    native = se.init_params(small, jax.random.key(0))
+    # fabricate a torch-style state dict from the native params
+    sd = {}
+    sd["pos_embed"] = np.asarray(native["pos_embed"])[None]
+    sd["patch_embed.proj.weight"] = np.asarray(
+        native["patch_kernel"]).transpose(3, 2, 0, 1)
+    sd["patch_embed.proj.bias"] = np.asarray(native["patch_bias"])
+    for j in (0, 1):
+        sd[f"neck.{2 * j}.weight"] = np.asarray(
+            native[f"neck{j}_kernel"]).transpose(3, 2, 0, 1)
+        sd[f"neck.{2 * j + 1}.weight"] = np.asarray(native[f"neck{j}_ln_w"])
+        sd[f"neck.{2 * j + 1}.bias"] = np.asarray(native[f"neck{j}_ln_b"])
+    rng = np.random.default_rng(6)
+    for i, bp in enumerate(native["blocks"]):
+        b = f"blocks.{i}."
+        sd[b + "norm1.weight"] = np.asarray(bp["ln1_w"])
+        sd[b + "norm1.bias"] = np.asarray(bp["ln1_b"])
+        sd[b + "norm2.weight"] = np.asarray(bp["ln2_w"])
+        sd[b + "norm2.bias"] = np.asarray(bp["ln2_b"])
+        sd[b + "attn.qkv.weight"] = np.asarray(bp["wqkv"]).T
+        sd[b + "attn.qkv.bias"] = np.asarray(bp["bqkv"])
+        sd[b + "attn.proj.weight"] = np.asarray(bp["wo"]).T
+        sd[b + "attn.proj.bias"] = np.asarray(bp["bo"])
+        sd[b + "mlp.lin1.weight"] = np.asarray(bp["mlp"]["w1"]).T
+        sd[b + "mlp.lin1.bias"] = np.asarray(bp["mlp"]["b1"])
+        sd[b + "mlp.lin2.weight"] = np.asarray(bp["mlp"]["w2"]).T
+        sd[b + "mlp.lin2.bias"] = np.asarray(bp["mlp"]["b2"])
+        sd[b + "attn.rel_pos_h"] = rng.standard_normal(
+            bp["rel_pos_h"].shape).astype(np.float32) * 0.1
+        sd[b + "attn.rel_pos_w"] = rng.standard_normal(
+            bp["rel_pos_w"].shape).astype(np.float32) * 0.1
+
+    # load into a reduced (img 32 -> grid 2) config: global rel tables
+    # must land at 2*2-1=3, pos-embed at (2, 2)
+    reduced = dataclasses.replace(small, img_size=32)
+    params = encoder_params(sd, reduced, prefix="", dtype=np.float32)
+    assert params["pos_embed"].shape == (2, 2, 32)
+    assert params["blocks"][1]["rel_pos_h"].shape[0] == 3  # global block
+    assert params["blocks"][0]["rel_pos_h"].shape[0] == 3  # window 2
+
+    emb = se.forward(params, reduced, jnp.asarray(
+        rng.standard_normal((1, 32, 32, 3)).astype(np.float32)))
+    assert emb.shape == (1, 2, 2, 16)
+    assert np.isfinite(np.asarray(emb)).all()
+
+    # geometry threads through the factory: prompt/refiner sizes follow
+    half = sam_vit_l(dtype=jnp.float32, flash=False, img_size=448)
+    assert half.encoder.grid == 28
+    assert half.prompt.image_embedding_size == 28
+    assert half.prompt.input_image_size == 448
+    assert half.prompt_size == 112
+
+    # full reduced-geometry refine roundtrip on a tiny stand-in
+    rcfg = dataclasses.replace(
+        sam_vit_l(dtype=jnp.float32, flash=False, img_size=32),
+        encoder=reduced,
+        prompt=spe.PromptEncoderConfig(
+            embed_dim=16, image_embedding_size=2, input_image_size=32,
+            mask_in_chans=8, dtype=jnp.float32),
+        decoder=smd.MaskDecoderConfig(
+            transformer_dim=16, dtype=jnp.float32,
+            transformer=smd.twoway.TwoWayConfig(
+                depth=2, embed_dim=16, mlp_dim=32, num_heads=2)),
+        prompt_size=8)
+    rparams = {
+        "prompt": spe.init_params(rcfg.prompt, jax.random.key(1)),
+        "decoder": smd.init_params(rcfg.decoder, jax.random.key(2)),
+    }
+    M = 2
+    coarse = jnp.asarray(rng.standard_normal((M, 16, 16)).astype(np.float32))
+    geom = {k: jnp.asarray(v, jnp.float32) for k, v in
+            dict(crop_y=0.0, crop_x=0.0, crop_h=16.0, crop_w=16.0,
+                 sam_h=32.0, sam_w=32.0).items()}
+    out = refiner.refine(rparams, rcfg, emb[0], coarse, geom,
+                         jnp.zeros((M, 3, 16), jnp.float32),
+                         jnp.ones((M, 3), bool))
+    assert out["low_res_logits"].shape == (M, 8, 8)
+    assert np.isfinite(np.asarray(out["low_res_logits"])).all()
