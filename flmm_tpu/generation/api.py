@@ -336,3 +336,203 @@ class Grounder:
         valid = np.asarray(out["valid"])
         tokens = np.asarray(out["tokens"])[:int(valid.sum())]
         return self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""
+
+
+@dataclasses.dataclass
+class AnyresGrounder:
+    """Grounded conversation for the anyres (LLaVA-Next) family.
+
+    Beyond-reference: the reference ships generation utilities only for
+    DeepSeekVL (frozen_deepseek_vl.py:227-593).  The KV-decode capture
+    core here handles the packed anyres prompt (masked pad slots inside
+    the image block + pad-skipping RoPE positions), so ``answer`` +
+    ``ground`` work for the non-contiguous-feature family too.
+    """
+
+    cfg: Any  # LlavaNextConfig (wrapper with .base / .anyres_spec)
+    params: dict
+    tokenizer: Any
+    prompt_template: dict
+    image_token: str = "<image_placeholder>"
+    max_new_tokens: int = 64
+
+    def __post_init__(self):
+        self.base = self.cfg.base
+        self.image_token_id = self.tokenizer.encode(
+            self.image_token, add_special_tokens=False)[-1]
+        stop_words = list(self.prompt_template.get("STOP_WORDS", []))
+        self.stop_ids = tuple(
+            self.tokenizer.encode(w, add_special_tokens=False)[-1]
+            for w in stop_words)
+        self._jit_cache: dict = {}
+
+    def _prompt_ids(self, content: str) -> np.ndarray:
+        spec = tok.PromptSpec(self.prompt_template, content)
+        return np.asarray(tok.encode_prompt(self.tokenizer, spec), np.int32)
+
+    def _generate(self, embeds, attn_mask, position_ids, max_new, stop_ids):
+        base = self.base
+        n_img = self.cfg.n_img_max
+        lw = jax.nn.softmax(self.params["trainable"]["text_layer_weights"])
+        key = ("agen", embeds.shape[0], max_new, stop_ids)
+        if key not in self._jit_cache:
+            def run(params, embeds, mask, pos, lw):
+                state = dec.prefill(
+                    params["frozen"]["llm"], base.llm, embeds,
+                    base.img_start, n_img, max_new, layer_weights=lw,
+                    attn_mask=mask, position_ids=pos)
+                out = dec.decode(
+                    params["frozen"]["llm"], base.llm, state,
+                    dec.DecodeConfig(max_new_tokens=max_new,
+                                     stop_token_ids=stop_ids),
+                    base.img_start, n_img, layer_weights=lw)
+                return {"tokens": out["tokens"], "valid": out["valid"],
+                        "attn": out["attn"], "hidden": out["hidden"]}
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key](self.params, embeds, attn_mask,
+                                    position_ids, lw)
+
+    def answer(self, image, question: str, max_new_tokens: int | None = None):
+        """Generate an answer over the anyres-packed prompt, caching
+        per-step attention rows over the (padded) image block."""
+        from flmm_tpu.data.llava_next import anyres_process, block_layout
+        from flmm_tpu.models.frozen import llava_next as mln
+
+        cfg, base = self.cfg, self.base
+        anyres = cfg.anyres_spec()
+        n_img = cfg.n_img_max
+        content = self.image_token * n_img + question
+        ids = self._prompt_ids(content)
+        img_start0, n = tok.find_image_block(ids, self.image_token_id)
+        assert n == n_img, (n, n_img)
+        pad_n = base.img_start - img_start0
+        assert pad_n >= 0, (
+            "prompt image block starts after the config img_start; "
+            "rebuild the config via registry.resolve_family_setup")
+        pad_id = int(ids[-1])  # any id works: the slots are masked
+        ids = np.concatenate([
+            ids[:img_start0],
+            np.full((pad_n,), pad_id, np.int32),
+            ids[img_start0:]])
+        img_start = base.img_start
+
+        proc = anyres_process(image, anyres)
+        layout = block_layout(anyres, proc["grid"], proc["fine_hw"],
+                              proc["fine_pad"])
+        S = len(ids)
+        attn_mask = np.ones((S,), bool)
+        attn_mask[img_start - pad_n:img_start] = False
+        attn_mask[img_start:img_start + n_img] = layout["block_valid"]
+        position_ids = np.maximum(np.cumsum(attn_mask) - 1, 0).astype(
+            np.int32)
+
+        g = anyres.tile_size
+        nt = proc["tiles"].shape[0]
+        tiles = np.zeros((1, 1 + anyres.max_tiles, g, g, 3), np.float32)
+        tiles[0, 0] = proc["base"]
+        tiles[0, 1:1 + nt] = proc["tiles"]
+        tile_valid = np.zeros((1, 1 + anyres.max_tiles), bool)
+        tile_valid[0, :1 + nt] = True
+        batch1 = {
+            "input_ids": ids[None], "tiles": tiles, "tile_valid": tile_valid,
+            "block_index": layout["block_index"][None],
+            "block_valid": layout["block_valid"][None],
+        }
+        embeds = mln.pack_embeds(
+            self.params, cfg, jax.tree.map(jnp.asarray, batch1))[0]
+        out = self._generate(embeds, jnp.asarray(attn_mask),
+                             jnp.asarray(position_ids),
+                             max_new_tokens or self.max_new_tokens,
+                             self.stop_ids)
+        valid = np.asarray(out["valid"])
+        tvalid = int(valid.sum())
+        tokens = np.asarray(out["tokens"])[:tvalid]
+        text = self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""
+        sam = sam_preprocess(image, base.sam.encoder.img_size)
+        meta = geometry.lmm_meta(image.height, image.width, g)
+        return {
+            "output_ids": tokens,
+            "output_text": text,
+            # (L, H, T, n_img) generated-token attention rows over the
+            # PACKED image block (pad slots zero via the decode mask)
+            "attention_maps": np.asarray(out["attn"])[:tvalid].transpose(
+                1, 2, 0, 3),
+            "hidden_states": np.asarray(out["hidden"])[:tvalid],
+            "fine_gather": layout["fine_gather"],
+            "fine_valid": layout["fine_valid"],
+            "fine_hw": np.asarray(proc["fine_hw"], np.float32),
+            "meta_data": meta,
+            "sam_pixels": sam["sam_pixel_values"],
+            "sam_input_size": sam["sam_input_size"],
+            "orig_size": (image.height, image.width),
+        }
+
+    def ground(self, answer_out: dict, positive_spans: list[tuple],
+               max_text: int = 16):
+        """Ground token spans of a generation; returns (M, oh, ow) masks."""
+        from flmm_tpu.models.frozen import llava_next as mln
+
+        cfg, base = self.cfg, self.base
+        attn = answer_out["attention_maps"]  # (L, H, T, n_img)
+        hidden = answer_out["hidden_states"]
+        L, H, T, n = attn.shape
+        merged, texts, tvalids = [], [], []
+        tp = self.params["trainable"]["text_proj"]
+        for lo, hi in positive_spans:
+            assert hi > lo
+            m = attn[:, :, lo:hi].mean(axis=2) if base.merge == "mean" else \
+                attn[:, :, lo:hi].max(axis=2)
+            merged.append(m)  # (L, H, n_img)
+            span_h = hidden[lo:hi]
+            proj = span_h @ np.asarray(tp["w"]) + np.asarray(tp["b"])
+            pad = np.zeros((max_text, proj.shape[-1]), np.float32)
+            k = min(len(proj), max_text)
+            pad[:k] = proj[:k]
+            texts.append(pad)
+            tvalids.append([True] * k + [False] * (max_text - k))
+        M = len(merged)
+        # (1, L, H, M, n_img) -> canonical square dual-stream frames
+        attn_b = jnp.asarray(np.stack(merged, axis=2)[None], jnp.float32)
+        Hc, Wc = cfg.coarse_frame
+        nh, nw = answer_out["sam_input_size"]
+        gbatch = {
+            "fine_gather": jnp.asarray(answer_out["fine_gather"][None]),
+            "fine_valid": jnp.asarray(answer_out["fine_valid"][None]),
+            "fine_hw": jnp.asarray(answer_out["fine_hw"][None]),
+            "geom": jax.tree.map(jnp.asarray, geometry.batch_geom(
+                [answer_out["meta_data"]], (Hc, Wc),
+                [answer_out["sam_input_size"]])),
+        }
+        maps = mln.assemble_frames(cfg, attn_b, gbatch)  # (M, Hc, Wc, 2LH)
+
+        texts_j = jnp.asarray(np.stack(texts), jnp.float32)
+        tvalid_j = jnp.asarray(np.stack(tvalids))
+        hcu, wcu = output_hw(base.unet, (Hc, Wc))
+        cc = geometry.coarse_crop(answer_out["meta_data"], (hcu, wcu))
+        geom = {k: jnp.asarray(v, jnp.float32) for k, v in cc.items()}
+        geom["sam_h"] = jnp.asarray(float(nh))
+        geom["sam_w"] = jnp.asarray(float(nw))
+
+        key = ("aground", maps.shape)
+        if key not in self._jit_cache:
+            def run(params, maps, text, tvalid, sam_px, geom):
+                tra = params["trainable"]
+                coarse = unet.forward(tra["unet"], base.unet,
+                                      maps).astype(jnp.float32)
+                img_emb = sam_encoder.forward(
+                    params["frozen"]["sam_encoder"], base.sam.encoder,
+                    sam_px[None])[0]
+                refined = sam_refiner.refine(
+                    tra["sam"], base.sam, img_emb, coarse, geom, text,
+                    tvalid)
+                return coarse, refined["low_res_logits"]
+            self._jit_cache[key] = jax.jit(run)
+        coarse, low_res = self._jit_cache[key](
+            self.params, maps, texts_j, tvalid_j,
+            jnp.asarray(answer_out["sam_pixels"]), geom)
+        masks = sam_logits_to_masks(
+            np.asarray(low_res), (nh, nw), answer_out["orig_size"],
+            sam_size=base.sam.encoder.img_size,
+            prompt_size=base.sam.prompt_size,
+        )
+        return np.asarray(coarse), masks

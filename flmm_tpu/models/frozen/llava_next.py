@@ -140,9 +140,27 @@ def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
         position_ids=batch["position_ids"],
     )
 
-    # 4. coarse + fine attention maps -> canonical square frame
-    attn = out["attn"]  # (B, L, H, M, n_max)
-    L_, H_ = gcfg.llm.num_layers, gcfg.llm.num_heads
+    maps = assemble_frames(cfg, out["attn"], batch)
+    return heads_forward(params, cfg.base, maps, out["hidden"], batch)
+
+
+def assemble_frames(cfg: "LlavaNextConfig", attn: jnp.ndarray,
+                    batch: dict) -> jnp.ndarray:
+    """Coarse + fine attention maps -> canonical square frame.
+
+    Args:
+      attn: merged capture ``(B, L, H, M, n_max)`` over the packed anyres
+        image block (reference frozen_llava_next.py:110-150).
+      batch: needs ``fine_gather``/``fine_valid``/``fine_hw``/``geom``.
+
+    Returns ``(B*M, Hc, Wc, 2*L*H)`` U-Net-ready maps (channel layout
+    [coarse layer-major | fine layer-major], matching the reference's
+    ``torch.cat([coarse, fine], dim=1)``, frozen_llava_next.py:145).
+    """
+    gcfg = cfg.base
+    B, L_, H_, M, _ = attn.shape
+    g = cfg.grid
+    g2 = g * g
     fhm, fwm = cfg.max_fine_hw
     coarse_maps = attn[..., :g2].reshape(B, L_, H_, M, g, g)
     fine = jnp.take_along_axis(
@@ -180,14 +198,10 @@ def forward(params: dict, cfg: LlavaNextConfig, batch: dict) -> dict:
         return cframe, fframe
 
     cframes, fframes = jax.vmap(per_sample)(jnp.arange(B))
-    # channel layout: [coarse layer-major | fine layer-major] matching the
-    # reference's torch.cat([coarse, fine], dim=1) (frozen_llava_next:145)
     cframes = cframes.reshape(B, L_ * H_, M, Hc, Wc)
     fframes = fframes.reshape(B, L_ * H_, M, Hc, Wc)
     maps = jnp.concatenate([cframes, fframes], axis=1)  # (B, 2LH, M, Hc, Wc)
-    maps = maps.transpose(0, 2, 3, 4, 1).reshape(B * M, Hc, Wc, 2 * L_ * H_)
-
-    return heads_forward(params, cfg.base, maps, out["hidden"], batch)
+    return maps.transpose(0, 2, 3, 4, 1).reshape(B * M, Hc, Wc, 2 * L_ * H_)
 
 
 def loss_fn(params: dict, cfg: LlavaNextConfig, batch: dict) -> tuple:

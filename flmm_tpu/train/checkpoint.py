@@ -19,7 +19,9 @@ import orbax.checkpoint as ocp
 def save(path: str | pathlib.Path, state: Any) -> None:
     path = pathlib.Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, state)
+        # overwrite: re-running into an existing workdir (or resuming past
+        # a previously-saved step) must not crash the training run
+        ckptr.save(path, state, force=True)
 
 
 def restore(path: str | pathlib.Path, template: Any) -> Any:

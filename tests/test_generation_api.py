@@ -77,3 +77,39 @@ def test_visual_cot_v2_and_v3(grounder):
     _, bbox3, answer3, _ = grounder.visual_cot_v3(img, "what?")
     assert bbox3 == (0, 0, 90, 60)
     assert isinstance(answer3, str)
+
+
+def test_anyres_grounder_answer_and_ground():
+    """AnyresGrounder: KV-decode chat + grounding over the packed anyres
+    prompt (masked image-block pads, pad-skipping positions)."""
+    from flmm_tpu.configs.llava_next import tiny_llava_next
+    from flmm_tpu.generation.api import AnyresGrounder
+    from flmm_tpu.models.frozen import llava_next as mln
+
+    tokenizer = DecodingFakeTokenizer()
+    cfg0 = tiny_llava_next()
+    n_img = cfg0.n_img_max
+    spec = tok.PromptSpec(tok.TEMPLATES["vicuna"],
+                          "<image_placeholder>" * n_img)
+    ids = tok.encode_prompt(tokenizer, spec)
+    start, n = tok.find_image_block(ids, IMAGE_TOKEN_ID)
+    assert n == n_img
+    cfg = tiny_llava_next(img_start=start)
+    params = mln.init_params(cfg, jax.random.key(0))
+    g = AnyresGrounder(
+        cfg=cfg, params=params, tokenizer=tokenizer,
+        prompt_template=tok.TEMPLATES["vicuna"], max_new_tokens=5,
+    )
+    img = _image()
+    out = g.answer(img, "what is this?")
+    L, H = cfg.base.llm.num_layers, cfg.base.llm.num_heads
+    assert out["attention_maps"].shape[:2] == (L, H)
+    assert out["attention_maps"].shape[3] == n_img
+    t = out["attention_maps"].shape[2]
+    assert t >= 1
+    # pad slots of the packed block carry (near-)zero attention
+    pad_cols = ~np.asarray(out["fine_valid"])  # fine pads only
+    coarse, masks = g.ground(out, [(0, t)])
+    assert masks.shape == (1, 60, 90)
+    assert masks.dtype == np.uint8
+    assert np.isfinite(coarse).all()
