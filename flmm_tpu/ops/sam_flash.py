@@ -1382,3 +1382,126 @@ def sam_global_attention(
         interpret=interpret,
     )(q, k, v, bias_h, bias_w)
     return out
+
+
+def _window_kernel_v10(qkv_ref, bias_ref, o_ref, *,
+                       hg: int, hd: int, side: int, grid_hw: int,
+                       nwx: int, scale2: float):
+    """One (window-row x head-group) grid step over HEAD-MAJOR spatial
+    qkv ``[..., h0:q|k|v, h1:q|k|v, ...]``.
+
+    The BlockSpec does both the window partition (row blocks of a padded
+    (B, Hp, Wp, nh*3*hd) tensor) and the head grouping (lane blocks);
+    per-head q/k/v are static lane slices, and the output is written back
+    spatially -- no XLA-side window partition, head transposes, or
+    operand re-materialisation.  Thin rel-pos bias arrives per
+    (window, head) and rides the augmented-K matmul (base-2 softmax).
+    """
+    wy = pl.program_id(1)
+    T = side * side
+    row = qkv_ref[0]  # (side, Wp, hg*3*hd)
+
+    jr = jax.lax.broadcasted_iota(jnp.int32, (T, hd), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (T, hd), 1)
+    sel = ((jc == jr // side) | (jc == side + jr % side)) & (jc < 2 * side)
+    sel = sel.astype(row.dtype)
+    r_of = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) // side
+    c_of = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1) % side
+
+    for wx in range(nwx):
+        qkv = row[:, wx * side:(wx + 1) * side].reshape(T, hg * 3 * hd)
+        bias = bias_ref[0, 0, wx]  # (hg, T, 2*side) f32
+        col_ok = ((wy * side + r_of) < grid_hw) & \
+            ((wx * side + c_of) < grid_hw)
+        outs = []
+        for h in range(hg):
+            base = 3 * hd * h
+            q = qkv[:, base:base + hd]
+            k = qkv[:, base + hd:base + 2 * hd]
+            v = qkv[:, base + 2 * hd:base + 3 * hd]
+            bpad = jnp.pad(
+                bias[h], ((0, 0), (0, hd - 2 * side))).astype(row.dtype)
+            a = jnp.concatenate(
+                [(q.astype(jnp.float32) * scale2).astype(row.dtype), bpad],
+                axis=1)  # (T, 2*hd)
+            b = jnp.concatenate([k, sel], axis=1)
+            s = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+            s = jnp.where(col_ok, s, -1e30)
+            m = s.max(axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = p.sum(axis=1, keepdims=True)
+            outs.append(
+                (jnp.dot(p.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+                 / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+        o_ref[0, :, wx * side:(wx + 1) * side] = jnp.concatenate(
+            outs, axis=1).reshape(side, side, hg * hd)
+
+
+def sam_window_attention_v10(
+    qkv: jnp.ndarray, rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, grid_hw: int, interpret: bool = False,
+    head_group: int = 4,
+) -> jnp.ndarray:
+    """Windowed ViTDet attention over SPATIAL, HEAD-MAJOR qkv.
+
+    Args:
+      qkv: ``(B, Hp, Wp, nh*3*hd)`` with ``Hp``/``Wp`` multiples of
+        ``side`` (zero-padded beyond ``grid_hw``); per-token layout
+        ``[q_h | k_h | v_h]`` per head (column-permuted wqkv).
+      grid_hw: valid spatial extent (e.g. 64 for SAM-1024).
+
+    Returns ``(B, Hp, Wp, nh*hd)`` (pad region garbage; slice outside).
+    """
+    B, Hp, Wp, C3 = qkv.shape
+    assert Hp % side == 0 and Wp % side == 0
+    nwy, nwx = Hp // side, Wp // side
+    T = side * side
+    hd = rel_pos_h.shape[-1]
+    nh = C3 // (3 * hd)
+    C = nh * hd
+    assert 2 * side <= hd, (side, hd)
+    hg = head_group if nh % head_group == 0 else nh
+    scale2 = (1.0 / math.sqrt(hd)) * _LOG2E
+
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rel_pos_h[coords].astype(qkv.dtype)  # (side, side, hd)
+    rw = rel_pos_w[coords].astype(qkv.dtype)
+    q_sp = qkv.reshape(B, nwy, side, nwx, side, nh, 3 * hd)[..., :hd]
+    bias_h = jnp.einsum("bYyXxhd,ykd->bYXhyxk", q_sp, rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("bYyXxhd,xkd->bYXhyxk", q_sp, rw,
+                        preferred_element_type=jnp.float32)
+    bias = jnp.concatenate([bias_h, bias_w], axis=-1) * _LOG2E
+    bias = bias.reshape(B, nwy, nwx, nh, T, 2 * side)
+
+    kernel = functools.partial(
+        _window_kernel_v10, hg=hg, hd=hd, side=side, grid_hw=grid_hw,
+        nwx=nwx, scale2=scale2)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nwy, nh // hg),
+        in_specs=[
+            pl.BlockSpec((1, side, Wp, hg * 3 * hd),
+                         lambda b, wy, g: (b, wy, 0, g)),
+            pl.BlockSpec((1, 1, nwx, hg, T, 2 * side),
+                         lambda b, wy, g: (b, wy, 0, g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, side, Wp, hg * hd),
+                               lambda b, wy, g: (b, wy, 0, g)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp, C), qkv.dtype),
+        interpret=interpret,
+    )(qkv, bias)
+    return out
+
+
+def qkv_head_major_perm(nh: int, hd: int) -> "jnp.ndarray":
+    """Column permutation taking a standard ``[q all | k all | v all]``
+    qkv projection to the head-major ``[q_h|k_h|v_h]`` layout v10 wants:
+    ``w_hm = w[:, perm]``."""
+    C = nh * hd
+    idx = []
+    for h in range(nh):
+        for t in range(3):
+            idx.extend(range(t * C + h * hd, t * C + (h + 1) * hd))
+    return jnp.asarray(idx, jnp.int32)

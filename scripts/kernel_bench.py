@@ -201,32 +201,112 @@ def bench_tower(bs: int):
 
 
 def bench_decoder(bs: int, seq_len: int = 672):
-    """Frozen 1.3B decoder forward with capture-merge at bench geometry."""
+    """Frozen 1.3B decoder forward with capture-merge at bench geometry,
+    XLA capture path (raw prompt layout) AND the flash-capture kernel
+    (128-aligned layout, S=768/img_start=128)."""
+    import dataclasses
+
     from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
     from flmm_tpu.models.llm import decoder
 
     cfg_full = deepseek_vl_1_3b()
-    cfg = cfg_full.llm
-    params = decoder.init_params(cfg, jax.random.key(0))
-    key = jax.random.key(1)
-    h = jax.random.normal(key, (bs, seq_len, cfg.hidden_size), cfg.dtype)
-    mask = jnp.ones((bs, seq_len), bool)
-    pos = jnp.broadcast_to(jnp.arange(seq_len), (bs, seq_len))
     M = 8
-    merge = jax.nn.one_hot(
-        jnp.arange(seq_len) % M, M, dtype=jnp.float32) / (seq_len / M)
-    merge = jnp.broadcast_to(merge, (bs, seq_len, M))
 
-    def fn(h, p):
-        out = decoder.forward_capture(
-            p, cfg, h, mask,
-            img_start=cfg_full.img_start, n_img=cfg_full.num_img_tokens,
-            merge_matrix=merge, merge="mean", position_ids=pos)
-        return out["attn"]
+    def run_one(cfg, S, img_start, label):
+        params = decoder.init_params(cfg, jax.random.key(0))
+        key = jax.random.key(1)
+        h = jax.random.normal(key, (bs, S, cfg.hidden_size), cfg.dtype)
+        mask = jnp.ones((bs, S), bool)
+        pos = jnp.broadcast_to(jnp.arange(S), (bs, S))
+        merge = jax.nn.one_hot(
+            jnp.arange(S) % M, M, dtype=jnp.float32) / (S / M)
+        merge = jnp.broadcast_to(merge, (bs, S, M))
 
-    ms = timeit_fetch(fn, h, params, iters=5)
-    print(json.dumps({"op": "decoder", "variant": f"S={seq_len}",
-                      "ms": round(ms, 2)}), flush=True)
+        def fn(h, p):
+            out = decoder.forward_capture(
+                p, cfg, h, mask, img_start=img_start,
+                n_img=cfg_full.num_img_tokens,
+                merge_matrix=merge, merge="mean", position_ids=pos)
+            return out["attn"]
+
+        try:
+            ms = timeit_fetch(fn, h, params, iters=5)
+            print(json.dumps({"op": "decoder", "variant": label,
+                              "ms": round(ms, 2)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "decoder", "variant": label,
+                              "error": f"{type(e).__name__}: {e}"[:160]}),
+                  flush=True)
+
+    run_one(cfg_full.llm, seq_len, cfg_full.img_start,
+            f"xla S={seq_len}")
+    aligned = dataclasses.replace(cfg_full.llm, use_flash_capture=False)
+    run_one(aligned, 768, 128, "xla S=768 aligned")
+    flash = dataclasses.replace(cfg_full.llm, use_flash_capture=True)
+    run_one(flash, 768, 128, "flash S=768 aligned")
+
+
+def bench_window_path(bs: int):
+    """Window-attention SUB-PATH comparison from the (B, H, W, 3C) qkv
+    tensor: XLA partition/head-transposes + v9 kernel vs the spatial v10
+    kernel (BlockSpec partition, in-kernel head slicing)."""
+    from flmm_tpu.ops import sam_flash
+
+    grid_hw, side, nh, hd = 64, 14, 16, 64
+    C = nh * hd
+    key = jax.random.key(0)
+    qkv = jax.random.normal(key, (bs, grid_hw, grid_hw, 3 * C),
+                            jnp.bfloat16) * 0.3
+    rh = jax.random.normal(jax.random.fold_in(key, 1),
+                           (2 * side - 1, hd), jnp.bfloat16) * 0.02
+    rw = jax.random.normal(jax.random.fold_in(key, 2),
+                           (2 * side - 1, hd), jnp.bfloat16) * 0.02
+
+    def v9_path(qkv):
+        B, H, W, C3 = qkv.shape
+        ws = side
+        pad_h = (ws - H % ws) % ws
+        pad_w = (ws - W % ws) % ws
+        qkvp = jnp.pad(qkv, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+        Hp, Wp = H + pad_h, W + pad_w
+        qkvw = qkvp.reshape(B, Hp // ws, ws, Wp // ws, ws, 3 * C)
+        qkvw = qkvw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, 3 * C)
+        nw = qkvw.shape[0]
+        q, k, v = jnp.split(qkvw, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(nw, ws * ws, nh, hd).transpose(
+                0, 2, 1, 3).reshape(nw * nh, ws * ws, hd)
+
+        out = sam_flash.sam_window_attention_v9(
+            heads(q), heads(k), heads(v), rh, rw, ws)
+        out = out.reshape(nw, nh, ws * ws, hd).transpose(0, 2, 1, 3)
+        out = out.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+        return out[:, :H, :W]
+
+    perm = sam_flash.qkv_head_major_perm(nh, hd)
+
+    def v10_path(qkv):
+        B, H, W, C3 = qkv.shape
+        ws = side
+        Hp = (H + ws - 1) // ws * ws
+        # head-major relayout rides the (cheap) pad; in the encoder the
+        # wqkv columns are permuted instead, making this free
+        qkvp = jnp.pad(qkv[..., perm],
+                       ((0, 0), (0, Hp - H), (0, Hp - W), (0, 0)))
+        out = sam_flash.sam_window_attention_v10(qkvp, rh, rw, ws, H)
+        return out[:, :H, :W]
+
+    for name, fn in (("v9_path", v9_path), ("v10_path", v10_path)):
+        try:
+            ms = timeit(jax.jit(fn), qkv)
+            print(json.dumps({"op": "window_path", "variant": name,
+                              "ms": round(ms, 2)}), flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "window_path", "variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:200]}),
+                  flush=True)
 
 
 def bench_rtt():
@@ -256,6 +336,8 @@ def main():
         bench_tower(args.bs)
     if "decoder" in what:
         bench_decoder(args.bs)
+    if "window_path" in what:
+        bench_window_path(args.bs)
     if "rtt" in what:
         bench_rtt()
 

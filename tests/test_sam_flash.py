@@ -267,3 +267,74 @@ def test_sam_flash_v7v8v9_parity_interpret():
         want = reference(q, k, v, rph, rpw, side)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, err_msg=fn.__name__)
+
+
+def test_sam_flash_v10_spatial_parity_interpret():
+    """v10: spatial head-major qkv, BlockSpec window partition, ragged
+    edge masking -- matches the einsum reference on the valid region."""
+    from flmm_tpu.ops.sam_flash import (
+        qkv_head_major_perm, sam_window_attention_v10,
+    )
+
+    rng = np.random.default_rng(11)
+    side, hd, nh, grid_hw = 7, 16, 4, 12  # pads 12 -> 14, ragged edges
+    C = nh * hd
+    B = 2
+    Hp = ((grid_hw + side - 1) // side) * side
+    qkv_std = jnp.asarray(
+        rng.standard_normal((B, Hp, Hp, 3 * C)).astype(np.float32)) * 0.3
+    valid2d = (np.arange(Hp)[:, None] < grid_hw) & \
+        (np.arange(Hp)[None, :] < grid_hw)
+    qkv_std = qkv_std * jnp.asarray(valid2d[None, :, :, None], jnp.float32)
+    rph = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32)) * 0.1
+    rpw = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32)) * 0.1
+    perm = qkv_head_major_perm(nh, hd)
+    got = sam_window_attention_v10(
+        qkv_std[..., perm], rph, rpw, side, grid_hw, interpret=True,
+        head_group=2)
+
+    # reference: window partition + per-head einsum with edge masking
+    nw = Hp // side
+    T = side * side
+    qkvw = qkv_std.reshape(B, nw, side, nw, side, 3 * C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(-1, T, 3 * C)
+    q, k, v = jnp.split(qkvw, 3, axis=-1)
+
+    def heads(t):
+        G = t.shape[0]
+        return t.reshape(G, T, nh, hd).transpose(0, 2, 1, 3).reshape(
+            G * nh, T, hd)
+
+    qh, kh, vh = heads(q), heads(k), heads(v)
+    want = reference(qh, kh, vh, rph, rpw, side)
+    # masked-key reference
+    wins = []
+    for _ in range(B):
+        for wy in range(nw):
+            for wx in range(nw):
+                rr = np.arange(T) // side + wy * side
+                cc = np.arange(T) % side + wx * side
+                wins.append((rr < grid_hw) & (cc < grid_hw))
+    # recompute with masking (reference() has no mask): do it manually
+    Gh = qh.shape[0]
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    rh = rph[coords]
+    rw = rpw[coords]
+    qg = qh.reshape(Gh, side, side, hd)
+    bh = jnp.einsum("gyxd,ykd->gyxk", qg, rh)
+    bw = jnp.einsum("gyxd,xkd->gyxk", qg, rw)
+    s = jnp.einsum("gqd,gkd->gqk", qh, kh) / np.sqrt(hd)
+    s = s.reshape(Gh, side, side, side, side) \
+        + bh[:, :, :, :, None] + bw[:, :, :, None, :]
+    s = s.reshape(Gh, T, T)
+    wmask = np.repeat(np.stack(wins), nh, axis=0)
+    s = jnp.where(jnp.asarray(wmask)[:, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("gqk,gkd->gqd", p, vh)
+    ref = ref.reshape(-1, nh, T, hd).transpose(0, 2, 1, 3).reshape(-1, T, C)
+    ref = ref.reshape(B, nw, nw, side, side, C).transpose(
+        0, 1, 3, 2, 4, 5).reshape(B, Hp, Hp, C)
+    d = jnp.where(jnp.asarray(valid2d[None, :, :, None]), got - ref, 0.0)
+    assert float(jnp.max(jnp.abs(d))) < 2e-4
