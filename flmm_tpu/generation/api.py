@@ -536,3 +536,131 @@ class AnyresGrounder:
             prompt_size=base.sam.prompt_size,
         )
         return np.asarray(coarse), masks
+
+
+@dataclasses.dataclass
+class MGMGrounder(Grounder):
+    """Grounded conversation for the MGM(-HD) family.
+
+    Beyond-reference (the reference ships generation only for DeepSeekVL):
+    MGM's image block is contiguous in the packed sequence, so the base
+    KV-decode capture path applies unchanged; only the image encoding
+    (dual CLIP + ConvNeXt towers with patch-info mining, HD crop grid)
+    and the grounding map re-assembly (HD tile stitch + upsampled global
+    concat) differ.  ``cfg`` is the MGMConfig wrapper; the base-class
+    machinery sees its ``.base`` GroundingConfig.
+    """
+
+    mgm_cfg: Any = None  # set in __post_init__ from cfg
+
+    def __post_init__(self):
+        self.mgm_cfg = self.cfg
+        self.cfg = self.cfg.base
+        super().__post_init__()
+
+    def _mgm_spec(self):
+        from flmm_tpu.data.mgm import MGMProcessSpec
+
+        m = self.mgm_cfg
+        return MGMProcessSpec(
+            crop_size=self.cfg.input_size, aux_size=m.aux.image_size,
+            image_grid=m.image_grid, image_global=m.image_global)
+
+    def _prepare_image(self, image):
+        from flmm_tpu.data.mgm import mgm_process
+
+        proc = mgm_process(image, self._mgm_spec())
+        sam = sam_preprocess(image, self.cfg.sam.encoder.img_size)
+        return {"pixel_values": proc, "meta": proc["meta"]}, sam
+
+    def _embed_tokens_with_image(self, input_ids: np.ndarray,
+                                 pixel_list: list) -> jnp.ndarray:
+        from flmm_tpu.models.frozen import mgm as mgm_model
+
+        base, fro = self.cfg, self.params["frozen"]
+        ids = jnp.asarray(input_ids)
+        embeds = llm.embed_tokens(fro["llm"], base.llm, ids).astype(
+            base.dtype)
+        is_img = np.asarray(input_ids) == self.image_token_id
+        positions = np.where(is_img)[0]
+        n = base.num_img_tokens
+        assert len(positions) == n * len(pixel_list), (
+            len(positions), n, len(pixel_list))
+        for i, px in enumerate(pixel_list):
+            feats = mgm_model.encode_images(
+                self.params, self.mgm_cfg,
+                jnp.asarray(px["crops"])[None],
+                jnp.asarray(px["aux"])[None])[0]
+            start = int(positions[i * n])
+            embeds = jax.lax.dynamic_update_slice(
+                embeds, feats.astype(base.dtype), (start, 0))
+        return embeds
+
+    def ground(self, answer_out: dict, positive_spans: list[tuple],
+               max_text: int = 16):
+        """Ground token spans; HD maps re-assembled per the reference's
+        _process_attention (frozen_mgm.py:171-202)."""
+        from flmm_tpu.models.frozen import mgm as mgm_model
+
+        base = self.cfg
+        attn = answer_out["attention_maps"]  # (L, H, T, n_img)
+        hidden = answer_out["hidden_states"]
+        merged, texts, tvalids = [], [], []
+        tp = self.params["trainable"]["text_proj"]
+        for lo, hi in positive_spans:
+            assert hi > lo
+            m = attn[:, :, lo:hi].mean(axis=2) if base.merge == "mean" \
+                else attn[:, :, lo:hi].max(axis=2)
+            merged.append(m)
+            span_h = hidden[lo:hi]
+            proj = span_h @ np.asarray(tp["w"]) + np.asarray(tp["b"])
+            pad = np.zeros((max_text, proj.shape[-1]), np.float32)
+            k = min(len(proj), max_text)
+            pad[:k] = proj[:k]
+            texts.append(pad)
+            tvalids.append([True] * k + [False] * (max_text - k))
+        attn_b = jnp.asarray(np.stack(merged, axis=2)[None], jnp.float32)
+        maps = mgm_model.assemble_attention(self.mgm_cfg, attn_b)
+        # base _ground_maps expects channel-first (M, C, h, w)
+        maps = maps.transpose(0, 3, 1, 2)
+
+        texts_j = jnp.asarray(np.stack(texts), jnp.float32)
+        tvalid_j = jnp.asarray(np.stack(tvalids))
+        mh, mw = self.mgm_cfg.map_hw
+        hc, wc = output_hw(base.unet, (mh, mw))
+        cc = geometry.coarse_crop(answer_out["meta_data"], (hc, wc))
+        nh, nw = answer_out["sam_input_size"]
+        geom = {k: jnp.asarray(v, jnp.float32) for k, v in cc.items()}
+        geom["sam_h"] = jnp.asarray(float(nh))
+        geom["sam_w"] = jnp.asarray(float(nw))
+        coarse, low_res = self._ground_maps(
+            maps, texts_j, tvalid_j,
+            jnp.asarray(answer_out["sam_pixels"]), geom)
+        masks = sam_logits_to_masks(
+            np.asarray(low_res), (nh, nw), answer_out["orig_size"],
+            sam_size=base.sam.encoder.img_size,
+            prompt_size=base.sam.prompt_size,
+        )
+        return np.asarray(coarse), masks
+
+    def _two_image_answer(self, image, crop, question: str) -> str:
+        base = self.cfg
+        content = (
+            f"{self.image_token * base.num_img_tokens}the whole image, "
+            f"{self.image_token * base.num_img_tokens}the image region "
+            f"that might help you answer the question: "
+            f"{question}{self.additional_prompt}"
+        )
+        ids = self._prompt_ids(content)
+        img_start = int(np.where(ids == self.image_token_id)[0][0])
+        from flmm_tpu.data.mgm import mgm_process
+
+        spec = self._mgm_spec()
+        px1 = mgm_process(image, spec)
+        px2 = mgm_process(crop, spec)
+        embeds = self._embed_tokens_with_image(ids, [px1, px2])
+        out = self._generate(embeds, img_start, self.max_new_tokens,
+                             self.stop_ids)
+        valid = np.asarray(out["valid"])
+        tokens = np.asarray(out["tokens"])[:int(valid.sum())]
+        return self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""

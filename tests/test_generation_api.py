@@ -113,3 +113,36 @@ def test_anyres_grounder_answer_and_ground():
     assert masks.shape == (1, 60, 90)
     assert masks.dtype == np.uint8
     assert np.isfinite(coarse).all()
+
+
+@pytest.mark.parametrize("hd", [False, True])
+def test_mgm_grounder_answer_and_ground(hd):
+    """MGMGrounder: base decode path (contiguous image block) + dual-tower
+    encoding + HD tile re-assembly in ground()."""
+    from flmm_tpu.configs.mgm import tiny_mgm
+    from flmm_tpu.generation.api import MGMGrounder
+    from flmm_tpu.models.frozen import mgm as mgm_model
+
+    tokenizer = DecodingFakeTokenizer()
+    cfg0 = tiny_mgm(hd=hd)
+    n_img = cfg0.base.num_img_tokens
+    spec = tok.PromptSpec(tok.TEMPLATES["vicuna"],
+                          "<image_placeholder>" * n_img)
+    ids = tok.encode_prompt(tokenizer, spec)
+    start, n = tok.find_image_block(ids, IMAGE_TOKEN_ID)
+    assert n == n_img
+    cfg = tiny_mgm(img_start=start, hd=hd)
+    params = mgm_model.init_params(cfg, jax.random.key(0))
+    g = MGMGrounder(
+        cfg=cfg, params=params, tokenizer=tokenizer,
+        prompt_template=tok.TEMPLATES["vicuna"], max_new_tokens=5,
+    )
+    img = _image()
+    out = g.answer(img, "what is this?")
+    L, H = cfg.base.llm.num_layers, cfg.base.llm.num_heads
+    assert out["attention_maps"].shape[:2] == (L, H)
+    assert out["attention_maps"].shape[3] == n_img
+    t = out["attention_maps"].shape[2]
+    coarse, masks = g.ground(out, [(0, t)])
+    assert masks.shape == (1, 60, 90)
+    assert np.isfinite(coarse).all()
