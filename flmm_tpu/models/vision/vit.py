@@ -201,8 +201,14 @@ def forward(
     )
 
     def layer(h, lp):
-        y = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        qkv = y @ lp["wqkv"] + lp["bqkv"]
+        if use_fused_mlp:
+            from flmm_tpu.ops.fused_block import fused_ln_qkv
+
+            qkv = fused_ln_qkv(h, lp["ln1_w"], lp["ln1_b"], lp["wqkv"],
+                               lp["bqkv"], eps=cfg.ln_eps)
+        else:
+            y = _ln(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            qkv = y @ lp["wqkv"] + lp["bqkv"]
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, hd)
         k = k.reshape(B, S, H, hd)
@@ -223,14 +229,15 @@ def forward(
             )
             probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
             o = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, d)
-        h = h + (o @ lp["wo"] + lp["bo"])
         if use_fused_mlp:
-            from flmm_tpu.ops.fused_block import fused_ln_mlp
+            from flmm_tpu.ops.fused_block import fused_proj_ln_mlp
 
-            h = fused_ln_mlp(h, lp["ln2_w"], lp["ln2_b"], lp["w1"],
-                             lp["b1"], lp["w2"], lp["b2"], eps=cfg.ln_eps,
-                             act=cfg.act)
+            h = fused_proj_ln_mlp(
+                h, o, lp["wo"], lp["bo"], lp["ln2_w"], lp["ln2_b"],
+                lp["w1"], lp["b1"], lp["w2"], lp["b2"], eps=cfg.ln_eps,
+                act=cfg.act)
         else:
+            h = h + (o @ lp["wo"] + lp["bo"])
             y2 = _ln(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
             h = h + (_act(y2 @ lp["w1"] + lp["b1"], cfg.act) @ lp["w2"]
                      + lp["b2"])
