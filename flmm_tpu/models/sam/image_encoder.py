@@ -273,7 +273,8 @@ def _ln_mlp_residual(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig):
 def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
     flash = (cfg.flash_window if windowed else
              (cfg.flash_global and x.shape[1] == x.shape[2]
-              and (x.shape[1] * x.shape[2]) % 128 == 0))
+              and ((x.shape[1] * x.shape[2]) % 128 == 0
+                   or cfg.global_kernel == "v8")))  # v8 pads + masks
     if flash:
         B, H, W, C = x.shape
         # fused kernels need plain (non-int8) weights and tiling shapes

@@ -1126,12 +1126,18 @@ def _global_kernel_v7(a_ref, b_ref, v_ref, o_ref):
     o_ref[0] = (o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _global_kernel_v8(a_ref, b_ref, v_ref, o_ref, *, chunks: int):
-    """v6's software-pipelined chunks with the v7 base-2 softmax."""
+def _global_kernel_v8(a_ref, b_ref, v_ref, o_ref, *, chunks: int,
+                      valid: int):
+    """v6's software-pipelined chunks with the v7 base-2 softmax.
+    ``valid`` masks lane-padded key columns (non-128-multiple grids,
+    e.g. the reduced-resolution SAM schedules)."""
     a = a_ref[0]
     b = b_ref[0]
     vv = v_ref[0]
     n = a.shape[0] // chunks
+    Sp = b.shape[1]
+    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (n, Sp), 1) < valid
+              if valid < Sp else None)
 
     def score(i):
         return jnp.dot(a[i * n:(i + 1) * n], b,
@@ -1143,6 +1149,8 @@ def _global_kernel_v8(a_ref, b_ref, v_ref, o_ref, *, chunks: int):
         s = s_next
         if i + 1 < chunks:
             s_next = score(i + 1)
+        if col_ok is not None:
+            s = jnp.where(col_ok, s, -1e30)
         m = s.max(axis=1, keepdims=True)
         p = jnp.exp2(s - m)
         l = p.sum(axis=1, keepdims=True)
@@ -1227,26 +1235,33 @@ def sam_global_attention_v8(
     chunks: int = 8,
 ) -> jnp.ndarray:
     """Global ViTDet attention, v8: v6's pipelined chunks + base-2
-    softmax.  Same contract as :func:`sam_global_attention`."""
+    softmax.  Same contract as :func:`sam_global_attention`; token counts
+    that are not 128-multiples (e.g. 28^2 = 784 for SAM-448) are padded
+    to the next lane tile with in-kernel key masking."""
     G, S, hd = q.shape
     assert S == side * side
-    block_q, chunks = _pick_block_q(S, block_q, chunks)
+    Sp = ((S + 127) // 128) * 128
     a, b, kp = _global_augmented_operands(
         q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
-    kernel = functools.partial(_global_kernel_v8, chunks=chunks)
+    if Sp != S:
+        a = jnp.pad(a, ((0, 0), (0, Sp - S), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, Sp - S)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0)))
+    block_q, chunks = _pick_block_q(Sp, block_q, chunks)
+    kernel = functools.partial(_global_kernel_v8, chunks=chunks, valid=S)
     out = pl.pallas_call(
         kernel,
-        grid=(G, S // block_q),
+        grid=(G, Sp // block_q),
         in_specs=[
             pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
-            pl.BlockSpec((1, kp, S), lambda g, i: (g, 0, 0)),
-            pl.BlockSpec((1, S, hd), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, kp, Sp), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, hd), lambda g, i: (g, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, S, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((G, Sp, hd), q.dtype),
         interpret=interpret,
     )(a, b, v)
-    return out
+    return out[:, :S]
 
 
 def _global_kernel_v3(a_ref, b_ref, v_ref, o_ref):

@@ -338,3 +338,23 @@ def test_sam_flash_v10_spatial_parity_interpret():
         0, 1, 3, 2, 4, 5).reshape(B, Hp, Hp, C)
     d = jnp.where(jnp.asarray(valid2d[None, :, :, None]), got - ref, 0.0)
     assert float(jnp.max(jnp.abs(d))) < 2e-4
+
+
+def test_sam_flash_v8_padded_s_parity_interpret():
+    """v8 handles token counts that are not 128-multiples by lane-padding
+    + in-kernel key masking (reduced-resolution SAM grids, e.g. 28^2)."""
+    from flmm_tpu.ops.sam_flash import sam_global_attention_v8
+
+    rng = np.random.default_rng(12)
+    side, hd, G = 6, 16, 3  # S = 36 -> padded to 128
+    S = side * side
+    q, k, v = (jnp.asarray(rng.standard_normal((G, S, hd)).astype(
+        np.float32)) * 0.3 for _ in range(3))
+    rph = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32)) * 0.1
+    rpw = jnp.asarray(
+        rng.standard_normal((2 * side - 1, hd)).astype(np.float32)) * 0.1
+    got = sam_global_attention_v8(q, k, v, rph, rpw, side, interpret=True,
+                                  block_q=64, chunks=2)
+    want = reference(q, k, v, rph, rpw, side)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
