@@ -309,6 +309,36 @@ def bench_window_path(bs: int):
                   flush=True)
 
 
+def bench_heads(bs: int):
+    """U-Net + SAM prompt/mask-decoder heads at bench geometry (the
+    ~5% tail of the pipeline): coarse maps -> UNet -> refine."""
+    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
+    from flmm_tpu.models.frozen import deepseek_vl as model
+    from flmm_tpu.models.frozen.grounding import heads_forward
+    from flmm_tpu.data.synthetic import synthetic_batch
+
+    cfg = deepseek_vl_1_3b()
+    params = model.init_params(cfg, jax.random.key(0))
+    batch = jax.tree.map(jnp.asarray, synthetic_batch(
+        cfg, batch_size=bs, seq_len=672, max_masks=8,
+        text_tokens_per_mask=12))
+    M = 8
+    g = cfg.clip_shape
+    maps = jax.random.normal(
+        jax.random.key(1), (bs * M, g, g, cfg.unet.in_channels),
+        jnp.float32) * 0.1
+    hidden = jax.random.normal(
+        jax.random.key(2), (bs, 672, cfg.llm.hidden_size), jnp.float32)
+
+    def fn(maps, params, batch):
+        out = heads_forward(params, cfg, maps, hidden, batch)
+        return out["sam_logits"]
+
+    ms = timeit_fetch(fn, maps, params, batch, iters=5)
+    print(json.dumps({"op": "heads", "variant": "unet+sam",
+                      "ms": round(ms, 2)}), flush=True)
+
+
 def bench_rtt():
     """Fetch round-trip floor: a trivial op timed the same way."""
     x = jnp.ones((8, 8), jnp.float32)
@@ -338,6 +368,8 @@ def main():
         bench_decoder(args.bs)
     if "window_path" in what:
         bench_window_path(args.bs)
+    if "heads" in what:
+        bench_heads(args.bs)
     if "rtt" in what:
         bench_rtt()
 
