@@ -4,7 +4,8 @@ Times each window/global attention variant plus the full encoder on the
 current backend (bs8 SAM ViT-L geometry by default) so kernel work can be
 measured, not guessed.  Usage::
 
-    python scripts/kernel_bench.py [--what window,global,encoder] [--bs 8]
+    python scripts/kernel_bench.py [--bs 8] \\
+        [--what window,global,encoder,tower,decoder,heads,window_path,rtt]
 
 Prints one JSON line per measurement: {"op", "variant", "ms"}.
 """
