@@ -212,3 +212,22 @@ def test_resolve_family_setup_sam_size():
         "deepseek_vl", "1_3b", DeepseekTokenizer())
     assert sk["sam_size"] == cfg.sam.encoder.img_size == 1024
     assert sk["prompt_size"] == cfg.sam.prompt_size == 256
+
+
+@pytest.mark.parametrize("family,preset", [
+    ("llava", "tiny"), ("llava_next", "tiny"), ("mgm", "tiny"),
+    ("hpt", "tiny"), ("deepseek_vl", "tiny"),
+])
+def test_with_sam_size_every_family(family, preset):
+    """with_sam_size threads consistently through every family's config
+    shape (wrapper configs keep their .base geometry in sync)."""
+    from flmm_tpu.registry import get_config, with_sam_size
+
+    cfg = get_config(family, preset)
+    out = with_sam_size(cfg, 448)
+    base = out.base if hasattr(out, "base") else out
+    assert base.sam.encoder.img_size == 448
+    grid = 448 // base.sam.encoder.patch_size
+    assert base.sam.prompt.image_embedding_size == grid
+    assert base.sam.prompt.input_image_size == 448
+    assert base.sam.prompt_size == 4 * grid
