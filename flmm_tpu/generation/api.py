@@ -387,14 +387,17 @@ class AnyresGrounder:
                                      stop_token_ids=stop_ids),
                     base.img_start, n_img, layer_weights=lw)
                 return {"tokens": out["tokens"], "valid": out["valid"],
-                        "attn": out["attn"], "hidden": out["hidden"]}
+                        "attn": out["attn"], "hidden": out["hidden"],
+                        "prompt_attn": state["attn"],
+                        "prompt_hidden": state["hidden"]}
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key](self.params, embeds, attn_mask,
                                     position_ids, lw)
 
-    def answer(self, image, question: str, max_new_tokens: int | None = None):
-        """Generate an answer over the anyres-packed prompt, caching
-        per-step attention rows over the (padded) image block."""
+    def _pack_prompt(self, image, question: str) -> dict:
+        """Build the packed anyres prompt for one image + question:
+        aligned ids, masks, positions, packed embeds and the per-image
+        grounding extras (layout/meta/sam)."""
         from flmm_tpu.data.llava_next import anyres_process, block_layout
         from flmm_tpu.models.frozen import llava_next as mln
 
@@ -440,16 +443,34 @@ class AnyresGrounder:
         }
         embeds = mln.pack_embeds(
             self.params, cfg, jax.tree.map(jnp.asarray, batch1))[0]
-        out = self._generate(embeds, jnp.asarray(attn_mask),
-                             jnp.asarray(position_ids),
+        sam = sam_preprocess(image, base.sam.encoder.img_size)
+        return {
+            "ids": ids, "img_start": img_start,
+            "attn_mask": attn_mask, "position_ids": position_ids,
+            "embeds": embeds,
+            "extras": {
+                "fine_gather": layout["fine_gather"],
+                "fine_valid": layout["fine_valid"],
+                "fine_hw": np.asarray(proc["fine_hw"], np.float32),
+                "meta_data": geometry.lmm_meta(image.height, image.width, g),
+                "sam_pixels": sam["sam_pixel_values"],
+                "sam_input_size": sam["sam_input_size"],
+                "orig_size": (image.height, image.width),
+            },
+        }
+
+    def answer(self, image, question: str, max_new_tokens: int | None = None):
+        """Generate an answer over the anyres-packed prompt, caching
+        per-step attention rows over the (padded) image block."""
+        pk = self._pack_prompt(image, question)
+        out = self._generate(pk["embeds"], jnp.asarray(pk["attn_mask"]),
+                             jnp.asarray(pk["position_ids"]),
                              max_new_tokens or self.max_new_tokens,
                              self.stop_ids)
         valid = np.asarray(out["valid"])
         tvalid = int(valid.sum())
         tokens = np.asarray(out["tokens"])[:tvalid]
         text = self.tokenizer.decode(tokens[:-1]) if len(tokens) else ""
-        sam = sam_preprocess(image, base.sam.encoder.img_size)
-        meta = geometry.lmm_meta(image.height, image.width, g)
         return {
             "output_ids": tokens,
             "output_text": text,
@@ -458,14 +479,36 @@ class AnyresGrounder:
             "attention_maps": np.asarray(out["attn"])[:tvalid].transpose(
                 1, 2, 0, 3),
             "hidden_states": np.asarray(out["hidden"])[:tvalid],
-            "fine_gather": layout["fine_gather"],
-            "fine_valid": layout["fine_valid"],
-            "fine_hw": np.asarray(proc["fine_hw"], np.float32),
-            "meta_data": meta,
-            "sam_pixels": sam["sam_pixel_values"],
-            "sam_input_size": sam["sam_input_size"],
-            "orig_size": (image.height, image.width),
+            **pk["extras"],
         }
+
+    def visual_cot_v2(self, image, question: str):
+        """Ground the question tokens from the prompt capture, crop, then
+        answer on the crop (reference visual_cot_v2, frozen_deepseek_vl
+        .py:374; the reference's final round converses over [image, crop]
+        -- the anyres packer is single-block, so the final answer here
+        sees the crop alone)."""
+        pk = self._pack_prompt(image, question)
+        out = self._generate(pk["embeds"], jnp.asarray(pk["attn_mask"]),
+                             jnp.asarray(pk["position_ids"]), 1,
+                             self.stop_ids)
+        q_start = pk["img_start"] + self.cfg.n_img_max
+        answer_out = {
+            "attention_maps": np.asarray(out["prompt_attn"]),
+            "hidden_states": np.asarray(out["prompt_hidden"]),
+            **pk["extras"],
+        }
+        _, masks = self.ground(answer_out, [(q_start, len(pk["ids"]))])
+        mask = masks[0] > 0
+        bbox = mask2box_scaled(mask, 1.0)
+        final = self.answer(image.crop(bbox), question)["output_text"]
+        return "", bbox, final, mask
+
+    def visual_cot_v3(self, image, question: str):
+        """No-CoT baseline: answer on the full image directly."""
+        out = self.answer(image, question)
+        return ("", (0, 0, image.width, image.height),
+                out["output_text"], None)
 
     def ground(self, answer_out: dict, positive_spans: list[tuple],
                max_text: int = 16):

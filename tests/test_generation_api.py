@@ -146,3 +146,32 @@ def test_mgm_grounder_answer_and_ground(hd):
     coarse, masks = g.ground(out, [(0, t)])
     assert masks.shape == (1, 60, 90)
     assert np.isfinite(coarse).all()
+
+
+def test_anyres_grounder_visual_cot():
+    from flmm_tpu.configs.llava_next import tiny_llava_next
+    from flmm_tpu.generation.api import AnyresGrounder
+    from flmm_tpu.models.frozen import llava_next as mln
+
+    tokenizer = DecodingFakeTokenizer()
+    cfg0 = tiny_llava_next()
+    n_img = cfg0.n_img_max
+    spec = tok.PromptSpec(tok.TEMPLATES["vicuna"],
+                          "<image_placeholder>" * n_img)
+    ids = tok.encode_prompt(tokenizer, spec)
+    start, _ = tok.find_image_block(ids, IMAGE_TOKEN_ID)
+    cfg = tiny_llava_next(img_start=start)
+    params = mln.init_params(cfg, jax.random.key(0))
+    g = AnyresGrounder(
+        cfg=cfg, params=params, tokenizer=tokenizer,
+        prompt_template=tok.TEMPLATES["vicuna"], max_new_tokens=4,
+    )
+    img = _image()
+    _, bbox, final, mask = g.visual_cot_v2(img, "where?")
+    x0, y0, x1, y1 = bbox
+    assert 0 <= x0 < x1 <= 90 and 0 <= y0 < y1 <= 60
+    assert isinstance(final, str)
+    assert mask.shape == (60, 90)
+    _, bbox3, final3, _ = g.visual_cot_v3(img, "what?")
+    assert bbox3 == (0, 0, 90, 60)
+    assert isinstance(final3, str)
