@@ -38,6 +38,75 @@ from flmm_tpu.models.sam import image_encoder as sam_encoder
 from flmm_tpu.models.vision import vit
 
 
+def make_grounder(family: str, cfg, params, tokenizer, **kw):
+    """Family-correct grounder with the family's registry template +
+    image token: AnyresGrounder for llava_next, MGMGrounder for mgm(-HD),
+    the base Grounder otherwise.  Extra kwargs are filtered to the fields
+    the selected class supports (e.g. ``max_thought_tokens`` only exists
+    on the base/MGM CoT surface).  Shared by the demo and Visual-CoT CLIs
+    so their ``--family`` dispatch cannot drift."""
+    from flmm_tpu.data.processors import ProcessorConfig
+    from flmm_tpu.registry import (
+        FAMILY_IMAGE_TOKENS, FAMILY_SIZE_RULES, FAMILY_TEMPLATES,
+    )
+
+    template = tok.TEMPLATES[FAMILY_TEMPLATES[family]]
+    image_token = FAMILY_IMAGE_TOKENS[family]
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    if family == "llava_next":
+        cls, cfg_arg = AnyresGrounder, cfg
+    elif family == "mgm":
+        cls, cfg_arg = MGMGrounder, cfg
+        kw.setdefault("processor", ProcessorConfig(
+            size=base.input_size, size_rule=FAMILY_SIZE_RULES[family]))
+    else:
+        cls, cfg_arg = Grounder, base
+        kw.setdefault("processor", ProcessorConfig(
+            size=base.input_size, size_rule=FAMILY_SIZE_RULES[family]))
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kw = {k: v for k, v in kw.items() if k in fields}
+    return cls(cfg=cfg_arg, params=params, tokenizer=tokenizer,
+               prompt_template=template, image_token=image_token, **kw)
+
+
+def _sentinel_image_token_id(tokenizer, image_token: str) -> int:
+    """The id spliced into the prompt at image slots: the token's own id
+    when the tokenizer maps it to a single token (DeepSeek-VL's
+    ``<image_placeholder>``), else the 0 sentinel -- real vicuna/gemma
+    tokenizers fragment ``<image>`` into several pieces, and the spliced
+    embedding is overwritten by projected image features anyway (mirrors
+    tokenization.encode_multimodal_prompt)."""
+    enc = tokenizer.encode(image_token, add_special_tokens=False)
+    return enc[-1] if len(enc) == 1 else 0
+
+
+def encode_with_images(tokenizer, template: dict, content: str,
+                       image_token: str, n_img: int, image_token_id: int,
+                       suffix: str = "") -> tuple[np.ndarray, list[int]]:
+    """Tokenise a template-rendered prompt containing one ``image_token``
+    marker per image, splicing ``n_img`` sentinel ids at each marker.
+
+    This is the reference's ``tokenizer_image_token`` split-splice
+    (mgm/mm_utils.py, constants.py IMAGE_TOKEN_INDEX) generalised to any
+    marker count: the placeholder string never reaches the tokenizer, so
+    tokenizers that would fragment it (``<image>`` under vicuna/gemma)
+    still produce a clean contiguous image block.  ``suffix`` is appended
+    after the rendered template (forced generation prefixes, reference
+    visual_cot_v1:252).  Returns ``(ids, starts)`` with one block start
+    per marker.
+    """
+    rendered = tok.PromptSpec(template, content).render() + suffix
+    parts = rendered.split(image_token)
+    assert len(parts) > 1, f"prompt does not contain {image_token!r}"
+    ids: list[int] = list(tokenizer.encode(parts[0], add_special_tokens=True))
+    starts: list[int] = []
+    for part in parts[1:]:
+        starts.append(len(ids))
+        ids += [image_token_id] * n_img
+        ids += list(tokenizer.encode(part, add_special_tokens=False))
+    return np.asarray(ids, np.int32), starts
+
+
 def mask2box_scaled(mask: np.ndarray, scale: float = 1.0) -> tuple:
     """Box of a binary mask with centre-scale expansion (reference
     frozen_deepseek_vl.py:458-475); returns the full image box if empty."""
@@ -71,9 +140,8 @@ class Grounder:
     additional_prompt: str = " Please briefly answer the question."
 
     def __post_init__(self):
-        self.image_token_id = self.tokenizer.encode(
-            self.image_token, add_special_tokens=False
-        )[-1]
+        self.image_token_id = _sentinel_image_token_id(
+            self.tokenizer, self.image_token)
         stop_words = list(self.prompt_template.get("STOP_WORDS", []))
         self.stop_ids = tuple(
             self.tokenizer.encode(w, add_special_tokens=False)[-1]
@@ -87,22 +155,18 @@ class Grounder:
     # -- jitted building blocks -------------------------------------------
 
     def _embed_tokens_with_image(self, input_ids: np.ndarray,
-                                 pixel_list: list[np.ndarray]) -> jnp.ndarray:
-        """Token embeddings with image features scattered at placeholder
-        blocks (supports the multi-image round-2 CoT conversation)."""
+                                 pixel_list: list[np.ndarray],
+                                 starts: list[int]) -> jnp.ndarray:
+        """Token embeddings with image features scattered at the block
+        starts (supports the multi-image round-2 CoT conversation)."""
         cfg, fro = self.cfg, self.params["frozen"]
         ids = jnp.asarray(input_ids)
         embeds = llm.embed_tokens(fro["llm"], cfg.llm, ids).astype(cfg.dtype)
-        is_img = np.asarray(input_ids) == self.image_token_id
-        positions = np.where(is_img)[0]
-        n = cfg.num_img_tokens
-        assert len(positions) == n * len(pixel_list), (
-            len(positions), n, len(pixel_list))
+        assert len(starts) == len(pixel_list), (starts, len(pixel_list))
         feats = self._tower(jnp.asarray(np.stack(pixel_list)))
-        for i in range(len(pixel_list)):
-            start = int(positions[i * n])
+        for i, start in enumerate(starts):
             embeds = jax.lax.dynamic_update_slice(
-                embeds, feats[i].astype(cfg.dtype), (start, 0)
+                embeds, feats[i].astype(cfg.dtype), (int(start), 0)
             )
         return embeds
 
@@ -172,19 +236,21 @@ class Grounder:
         sam = sam_preprocess(image, self.cfg.sam.encoder.img_size)
         return proc, sam
 
-    def _prompt_ids(self, content: str) -> np.ndarray:
-        spec = tok.PromptSpec(self.prompt_template, content)
-        return np.asarray(tok.encode_prompt(self.tokenizer, spec), np.int32)
+    def _encode_content(self, content: str,
+                        suffix: str = "") -> tuple[np.ndarray, list[int]]:
+        """Tokenise template-rendered ``content`` (one ``image_token``
+        marker per image) via the split-splice convention."""
+        return encode_with_images(
+            self.tokenizer, self.prompt_template, content, self.image_token,
+            self.cfg.num_img_tokens, self.image_token_id, suffix=suffix)
 
     def answer(self, image, question: str, max_new_tokens: int | None = None):
         """Generate an answer while caching attention/hidden per step."""
-        cfg = self.cfg
-        content = self.image_token * cfg.num_img_tokens + question
-        ids = self._prompt_ids(content)
-        img_start, n = tok.find_image_block(ids, self.image_token_id)
-        assert n == cfg.num_img_tokens
+        ids, starts = self._encode_content(self.image_token + question)
+        img_start = starts[0]
         proc, sam = self._prepare_image(image)
-        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]],
+                                               starts)
         out = self._generate(
             embeds, img_start, max_new_tokens or self.max_new_tokens,
             self.stop_ids,
@@ -257,15 +323,13 @@ class Grounder:
         """Think (<=16 tokens) -> ground the thought -> crop -> re-answer."""
         thought_q = (question + "First think which object in this image is "
                      "most relevant to the question.")
-        content = (self.image_token * self.cfg.num_img_tokens + thought_q)
-        spec = tok.PromptSpec(self.prompt_template, content)
-        rendered = spec.render() + " The object most relevant to the question is"
-        ids = np.asarray(
-            self.tokenizer.encode(rendered, add_special_tokens=True), np.int32
-        )
-        img_start, _ = tok.find_image_block(ids, self.image_token_id)
+        ids, starts = self._encode_content(
+            self.image_token + thought_q,
+            suffix=" The object most relevant to the question is")
+        img_start = starts[0]
         proc, sam = self._prepare_image(image)
-        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]],
+                                               starts)
         out = self._generate(embeds, img_start, self.max_thought_tokens,
                              self.thought_stop_ids)
         valid = np.asarray(out["valid"])
@@ -289,12 +353,12 @@ class Grounder:
 
     def visual_cot_v2(self, image, question: str):
         """Ground the question tokens directly, then crop + re-answer."""
-        content = self.image_token * self.cfg.num_img_tokens + question
-        ids = self._prompt_ids(content)
-        img_start, n = tok.find_image_block(ids, self.image_token_id)
-        q_start = img_start + n
+        ids, starts = self._encode_content(self.image_token + question)
+        img_start = starts[0]
+        q_start = img_start + self.cfg.num_img_tokens
         proc, sam = self._prepare_image(image)
-        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]])
+        embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]],
+                                               starts)
         # prefill-only pass: question attention rows come from the prompt
         state = self._generate(embeds, img_start, 1, self.stop_ids)
         answer_out = {
@@ -319,18 +383,17 @@ class Grounder:
     def _two_image_answer(self, image, crop, question: str) -> str:
         """Round-2 conversation over [full image, crop] (reference
         visual_cot_v1:357-371)."""
-        cfg = self.cfg
         content = (
-            f"{self.image_token * cfg.num_img_tokens}the whole image, "
-            f"{self.image_token * cfg.num_img_tokens}the image region that "
+            f"{self.image_token}the whole image, "
+            f"{self.image_token}the image region that "
             f"might help you answer the question: "
             f"{question}{self.additional_prompt}"
         )
-        ids = self._prompt_ids(content)
-        img_start = int(np.where(ids == self.image_token_id)[0][0])
+        ids, starts = self._encode_content(content)
+        img_start = starts[0]
         px1 = square_pad_preprocess(image, self.processor)["pixel_values"]
         px2 = square_pad_preprocess(crop, self.processor)["pixel_values"]
-        embeds = self._embed_tokens_with_image(ids, [px1, px2])
+        embeds = self._embed_tokens_with_image(ids, [px1, px2], starts)
         out = self._generate(embeds, img_start, self.max_new_tokens,
                              self.stop_ids)
         valid = np.asarray(out["valid"])
@@ -358,17 +421,13 @@ class AnyresGrounder:
 
     def __post_init__(self):
         self.base = self.cfg.base
-        self.image_token_id = self.tokenizer.encode(
-            self.image_token, add_special_tokens=False)[-1]
+        self.image_token_id = _sentinel_image_token_id(
+            self.tokenizer, self.image_token)
         stop_words = list(self.prompt_template.get("STOP_WORDS", []))
         self.stop_ids = tuple(
             self.tokenizer.encode(w, add_special_tokens=False)[-1]
             for w in stop_words)
         self._jit_cache: dict = {}
-
-    def _prompt_ids(self, content: str) -> np.ndarray:
-        spec = tok.PromptSpec(self.prompt_template, content)
-        return np.asarray(tok.encode_prompt(self.tokenizer, spec), np.int32)
 
     def _generate(self, embeds, attn_mask, position_ids, max_new, stop_ids):
         base = self.base
@@ -404,10 +463,11 @@ class AnyresGrounder:
         cfg, base = self.cfg, self.base
         anyres = cfg.anyres_spec()
         n_img = cfg.n_img_max
-        content = self.image_token * n_img + question
-        ids = self._prompt_ids(content)
-        img_start0, n = tok.find_image_block(ids, self.image_token_id)
-        assert n == n_img, (n, n_img)
+        ids, starts = encode_with_images(
+            self.tokenizer, self.prompt_template,
+            self.image_token + question, self.image_token, n_img,
+            self.image_token_id)
+        img_start0 = starts[0]
         pad_n = base.img_start - img_start0
         assert pad_n >= 0, (
             "prompt image block starts after the config img_start; "
@@ -617,26 +677,22 @@ class MGMGrounder(Grounder):
         return {"pixel_values": proc, "meta": proc["meta"]}, sam
 
     def _embed_tokens_with_image(self, input_ids: np.ndarray,
-                                 pixel_list: list) -> jnp.ndarray:
+                                 pixel_list: list,
+                                 starts: list[int]) -> jnp.ndarray:
         from flmm_tpu.models.frozen import mgm as mgm_model
 
         base, fro = self.cfg, self.params["frozen"]
         ids = jnp.asarray(input_ids)
         embeds = llm.embed_tokens(fro["llm"], base.llm, ids).astype(
             base.dtype)
-        is_img = np.asarray(input_ids) == self.image_token_id
-        positions = np.where(is_img)[0]
-        n = base.num_img_tokens
-        assert len(positions) == n * len(pixel_list), (
-            len(positions), n, len(pixel_list))
-        for i, px in enumerate(pixel_list):
+        assert len(starts) == len(pixel_list), (starts, len(pixel_list))
+        for px, start in zip(pixel_list, starts):
             feats = mgm_model.encode_images(
                 self.params, self.mgm_cfg,
                 jnp.asarray(px["crops"])[None],
                 jnp.asarray(px["aux"])[None])[0]
-            start = int(positions[i * n])
             embeds = jax.lax.dynamic_update_slice(
-                embeds, feats.astype(base.dtype), (start, 0))
+                embeds, feats.astype(base.dtype), (int(start), 0))
         return embeds
 
     def ground(self, answer_out: dict, positive_spans: list[tuple],
@@ -687,21 +743,20 @@ class MGMGrounder(Grounder):
         return np.asarray(coarse), masks
 
     def _two_image_answer(self, image, crop, question: str) -> str:
-        base = self.cfg
         content = (
-            f"{self.image_token * base.num_img_tokens}the whole image, "
-            f"{self.image_token * base.num_img_tokens}the image region "
+            f"{self.image_token}the whole image, "
+            f"{self.image_token}the image region "
             f"that might help you answer the question: "
             f"{question}{self.additional_prompt}"
         )
-        ids = self._prompt_ids(content)
-        img_start = int(np.where(ids == self.image_token_id)[0][0])
+        ids, starts = self._encode_content(content)
+        img_start = starts[0]
         from flmm_tpu.data.mgm import mgm_process
 
         spec = self._mgm_spec()
         px1 = mgm_process(image, spec)
         px2 = mgm_process(crop, spec)
-        embeds = self._embed_tokens_with_image(ids, [px1, px2])
+        embeds = self._embed_tokens_with_image(ids, [px1, px2], starts)
         out = self._generate(embeds, img_start, self.max_new_tokens,
                              self.stop_ids)
         valid = np.asarray(out["valid"])

@@ -61,6 +61,12 @@ class SamEncoderConfig:
     # activation tensor never touches HBM); used when the flash kernels
     # are on and shapes tile cleanly
     fused_mlp: bool = True
+    # whole-block window layers (ops/window_block.py): tokens stay
+    # window-major across each run of consecutive window blocks and one
+    # kernel fuses attention + proj + LN2 + MLP with all weights VMEM-
+    # resident -- removes the ~9 ms/layer of XLA partition/head-transpose
+    # glue measured in round 2
+    window_block_fused: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -180,13 +186,12 @@ def _flash_global_core(
     Pallas kernel.  ``qkv``: (B, H, W, 3C) -> returns (B, H, W, C)."""
     from flmm_tpu.ops import sam_flash
 
-    kernels = {"v1": sam_flash.sam_global_attention,
-               "v2": sam_flash.sam_global_attention_v2,
-               "v3": sam_flash.sam_global_attention_v3,
-               "v4": sam_flash.sam_global_attention_v4,
-               "v6": sam_flash.sam_global_attention_v6,
-               "v7": sam_flash.sam_global_attention_v7,
-               "v8": sam_flash.sam_global_attention_v8}
+    if cfg.global_kernel == "v8":  # production default
+        kernel = sam_flash.sam_global_attention_v8
+    else:  # superseded bake-off variants, kept for measurement replays
+        from flmm_tpu.ops import sam_flash_experiments as sfx
+        kernel = getattr(sfx, "sam_global_attention" + (
+            "" if cfg.global_kernel == "v1" else "_" + cfg.global_kernel))
     B, H, W, C3 = qkv.shape
     C = C3 // 3
     nh, hd = cfg.num_heads, cfg.head_dim
@@ -196,7 +201,6 @@ def _flash_global_core(
         return t.reshape(B, H * W, nh, hd).transpose(0, 2, 1, 3).reshape(
             B * nh, H * W, hd)
 
-    kernel = kernels[cfg.global_kernel]
     out = kernel(
         heads(q), heads(k), heads(v), bp["rel_pos_h"], bp["rel_pos_w"], H
     )
@@ -214,15 +218,12 @@ def _flash_window_core(
     order is free.  ``qkv``: (B, H, W, 3C) -> (B, H, W, C)."""
     from flmm_tpu.ops import sam_flash
 
-    wkernel = {"v1": sam_flash.sam_window_attention,
-               "v2": sam_flash.sam_window_attention_v2,
-               "v3": sam_flash.sam_window_attention_v3,
-               "v4": sam_flash.sam_window_attention_v4,
-               "v5": sam_flash.sam_window_attention_v5,
-               "v6": sam_flash.sam_window_attention_v6,
-               "v7": sam_flash.sam_window_attention_v7,
-               "v8": sam_flash.sam_window_attention_v8,
-               "v9": sam_flash.sam_window_attention_v9}[cfg.window_kernel]
+    if cfg.window_kernel == "v9":  # production default
+        wkernel = sam_flash.sam_window_attention_v9
+    else:  # superseded bake-off variants, kept for measurement replays
+        from flmm_tpu.ops import sam_flash_experiments as sfx
+        wkernel = getattr(sfx, "sam_window_attention" + (
+            "" if cfg.window_kernel == "v1" else "_" + cfg.window_kernel))
     B, H, W, C3 = qkv.shape
     C = C3 // 3
     ws = cfg.window_size

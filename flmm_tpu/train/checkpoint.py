@@ -9,18 +9,25 @@ re-materialised from the upstream HF/SAM checkpoints at load time.
 
 from __future__ import annotations
 
+import logging
 import pathlib
 from typing import Any
 
 import jax
 import orbax.checkpoint as ocp
 
+logger = logging.getLogger(__name__)
+
 
 def save(path: str | pathlib.Path, state: Any) -> None:
     path = pathlib.Path(path).absolute()
+    if path.exists():
+        # overwrite rather than crash: re-running into an existing workdir
+        # (or resuming past a previously-saved step) is routine -- but a
+        # job mispointed at an old workdir destroys good checkpoints, so
+        # make the deletion visible
+        logger.warning("checkpoint %s exists; overwriting", path)
     with ocp.StandardCheckpointer() as ckptr:
-        # overwrite: re-running into an existing workdir (or resuming past
-        # a previously-saved step) must not crash the training run
         ckptr.save(path, state, force=True)
 
 

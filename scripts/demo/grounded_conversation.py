@@ -56,8 +56,6 @@ def main():
 
     from flmm_tpu.convert import load as load_mod
     from flmm_tpu.data import tokenization as tok
-    from flmm_tpu.data.processors import ProcessorConfig
-    from flmm_tpu.generation.api import Grounder
     from flmm_tpu.generation.noun_chunks import (
         char_span_to_token_span, noun_chunks,
     )
@@ -81,34 +79,12 @@ def main():
         params["trainable"] = ckpt.restore(args.trained, state)["params"]
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    from flmm_tpu.registry import FAMILY_IMAGE_TOKENS, FAMILY_TEMPLATES
+    from flmm_tpu.generation.api import make_grounder
 
-    template = tok.TEMPLATES[FAMILY_TEMPLATES[args.family]]
-    image_token = FAMILY_IMAGE_TOKENS[args.family]
-    if args.family == "llava_next":
-        from flmm_tpu.generation.api import AnyresGrounder
-
-        grounder = AnyresGrounder(
-            cfg=cfg, params=params, tokenizer=tokenizer,
-            prompt_template=template, image_token=image_token,
-            max_new_tokens=args.max_new_tokens,
-        )
-    elif args.family == "mgm":
-        from flmm_tpu.generation.api import MGMGrounder
-
-        grounder = MGMGrounder(
-            cfg=cfg, params=params, tokenizer=tokenizer,
-            prompt_template=template, image_token=image_token,
-            processor=ProcessorConfig(size=base.input_size),
-            max_new_tokens=args.max_new_tokens,
-        )
-    else:
-        grounder = Grounder(
-            cfg=base, params=params, tokenizer=tokenizer,
-            prompt_template=template, image_token=image_token,
-            processor=ProcessorConfig(size=base.input_size),
-            max_new_tokens=args.max_new_tokens,
-        )
+    grounder = make_grounder(
+        args.family, cfg, params, tokenizer,
+        max_new_tokens=args.max_new_tokens,
+    )
 
     image = Image.open(args.image).convert("RGB")
     out = grounder.answer(image, args.text)

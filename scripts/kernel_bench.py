@@ -72,6 +72,16 @@ def timeit_fetch(fn, x, *rest, iters: int = 5, warmup: int = 2) -> float:
     return (time.perf_counter() - t0) / iters * 1e3
 
 
+def _kernel_fn(sam_flash, stem: str, name: str):
+    """Resolve a kernel variant: production kernels live in ops.sam_flash,
+    superseded bake-off variants in ops.sam_flash_experiments."""
+    attr = stem + ("" if name == "v1" else f"_{name}")
+    if hasattr(sam_flash, attr):
+        return getattr(sam_flash, attr)
+    from flmm_tpu.ops import sam_flash_experiments
+    return getattr(sam_flash_experiments, attr)
+
+
 def bench_window(bs: int, variants: list[str]):
     from flmm_tpu.ops import sam_flash
 
@@ -89,8 +99,7 @@ def bench_window(bs: int, variants: list[str]):
                            jnp.bfloat16) * 0.02
     ref = None
     for name in variants:
-        fn = getattr(sam_flash, "sam_window_attention" +
-                     ("" if name == "v1" else f"_{name}"))
+        fn = _kernel_fn(sam_flash, "sam_window_attention", name)
         jfn = jax.jit(lambda q, k, v, f=fn: f(q, k, v, rh, rw, side))
         try:
             ms = timeit(jfn, q, k, v)
@@ -122,8 +131,7 @@ def bench_global(bs: int, variants: list[str]):
                            jnp.bfloat16) * 0.02
     ref = None
     for name in variants:
-        fn = getattr(sam_flash, "sam_global_attention" +
-                     ("" if name == "v1" else f"_{name}"))
+        fn = _kernel_fn(sam_flash, "sam_global_attention", name)
         jfn = jax.jit(lambda q, k, v, f=fn: f(q, k, v, rh, rw, side))
         try:
             ms = timeit(jfn, q, k, v, iters=5)
@@ -286,7 +294,8 @@ def bench_window_path(bs: int):
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
         return out[:, :H, :W]
 
-    perm = sam_flash.qkv_head_major_perm(nh, hd)
+    from flmm_tpu.ops import sam_flash_experiments as sfx
+    perm = sfx.qkv_head_major_perm(nh, hd)
 
     def v10_path(qkv):
         B, H, W, C3 = qkv.shape
@@ -296,7 +305,7 @@ def bench_window_path(bs: int):
         # wqkv columns are permuted instead, making this free
         qkvp = jnp.pad(qkv[..., perm],
                        ((0, 0), (0, Hp - H), (0, Hp - W), (0, 0)))
-        out = sam_flash.sam_window_attention_v10(qkvp, rh, rw, ws, H)
+        out = sfx.sam_window_attention_v10(qkvp, rh, rw, ws, H)
         return out[:, :H, :W]
 
     for name, fn in (("v9_path", v9_path), ("v10_path", v10_path)):

@@ -52,8 +52,6 @@ def main():
 
     from flmm_tpu.convert import load as load_mod
     from flmm_tpu.data import tokenization as tok
-    from flmm_tpu.data.processors import ProcessorConfig
-    from flmm_tpu.generation.api import Grounder
     from flmm_tpu.registry import get_config, get_model
     from flmm_tpu.train import checkpoint as ckpt
 
@@ -74,15 +72,20 @@ def main():
         params["trainable"] = ckpt.restore(args.trained, state)["params"]
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
-    grounder = Grounder(
-        cfg=base, params=params, tokenizer=tokenizer,
-        prompt_template=tok.TEMPLATES["deepseek"],
-        processor=ProcessorConfig(size=base.input_size),
+    from flmm_tpu.generation.api import make_grounder
+
+    grounder = make_grounder(
+        args.family, cfg, params, tokenizer,
         max_new_tokens=args.max_new_tokens,
         max_thought_tokens=args.max_thought_tokens,
         box_scale=args.box_scale, use_sam=not args.no_sam,
     )
-    run = getattr(grounder, f"visual_cot_{args.version}")
+    run = getattr(grounder, f"visual_cot_{args.version}", None)
+    if run is None:
+        p.error(f"--version {args.version} is not available for "
+                f"--family {args.family} "
+                f"({type(grounder).__name__} has no visual_cot_"
+                f"{args.version})")
 
     out_dir = pathlib.Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)

@@ -175,3 +175,40 @@ def test_anyres_grounder_visual_cot():
     _, bbox3, final3, _ = g.visual_cot_v3(img, "what?")
     assert bbox3 == (0, 0, 90, 60)
     assert isinstance(final3, str)
+
+
+class FragmentingFakeTokenizer(DecodingFakeTokenizer):
+    """No single id for '<image>': the placeholder fragments into several
+    pieces, as real vicuna/gemma tokenizers do.  The grounders must use
+    the split-splice convention (encode_with_images) -- encoding the
+    placeholder string and scanning for one id would break here."""
+
+    def encode(self, text, add_special_tokens=False):
+        ids = [1] if add_special_tokens else []
+        pieces = text.replace("<", " < ").replace(">", " > ").split()
+        ids += [10 + (hash(w) % 200) for w in pieces]
+        return ids
+
+
+def test_grounder_with_fragmenting_tokenizer():
+    """answer/ground work when the image token has no single-id mapping:
+    the sentinel id 0 is spliced and the block start is tracked, never
+    scanned (round-2 advisor finding)."""
+    tokzr = FragmentingFakeTokenizer()
+    assert len(tokzr.encode("<image>", add_special_tokens=False)) > 1
+    cfg = tiny()
+    params = model.init_params(cfg, jax.random.key(0))
+    g = Grounder(
+        cfg=cfg, params=params, tokenizer=tokzr,
+        prompt_template=tok.TEMPLATES["vicuna"], image_token="<image>",
+        processor=ProcessorConfig(size=cfg.input_size), max_new_tokens=4,
+    )
+    assert g.image_token_id == 0  # sentinel, not a fragment piece
+    ids, starts = g._encode_content("<image>what?")
+    n = cfg.num_img_tokens
+    assert list(ids[starts[0]:starts[0] + n]) == [0] * n
+    out = g.answer(_image(), "what is this?")
+    assert out["attention_maps"].shape[3] == n
+    t = out["attention_maps"].shape[2]
+    _, masks = g.ground(out, [(0, t)])
+    assert masks.shape == (1, 60, 90)

@@ -4,7 +4,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from flmm_tpu.ops.sam_flash import sam_global_attention
+from flmm_tpu.ops.sam_flash_experiments import sam_global_attention
 
 
 def reference(q, k, v, rph, rpw, side):
@@ -44,7 +44,7 @@ def test_sam_flash_parity_interpret():
 
 
 def test_sam_window_flash_parity_interpret():
-    from flmm_tpu.ops.sam_flash import sam_window_attention
+    from flmm_tpu.ops.sam_flash_experiments import sam_window_attention
 
     rng = np.random.default_rng(2)
     side, hd, G = 7, 16, 3  # T = 49 (odd size exercises padding)
@@ -64,7 +64,7 @@ def test_sam_window_flash_parity_interpret():
 
 
 def test_sam_flash_v2_parity_interpret():
-    from flmm_tpu.ops.sam_flash import sam_global_attention_v2
+    from flmm_tpu.ops.sam_flash_experiments import sam_global_attention_v2
 
     rng = np.random.default_rng(1)
     side, hd, G = 16, 32, 2  # S = 256
@@ -89,7 +89,7 @@ def test_sam_flash_v2_parity_interpret():
 
 
 def test_sam_window_flash_v2_parity_interpret():
-    from flmm_tpu.ops.sam_flash import sam_window_attention_v2
+    from flmm_tpu.ops.sam_flash_experiments import sam_window_attention_v2
 
     rng = np.random.default_rng(3)
     side, hd, G = 7, 16, 3  # T = 49 (odd size exercises padding)
@@ -109,7 +109,7 @@ def test_sam_window_flash_v2_parity_interpret():
 
 
 def test_sam_flash_v3_parity_interpret():
-    from flmm_tpu.ops.sam_flash import (
+    from flmm_tpu.ops.sam_flash_experiments import (
         sam_global_attention_v3, sam_window_attention_v3,
     )
 
@@ -138,7 +138,7 @@ def test_sam_flash_v3_parity_interpret():
 
 
 def test_sam_flash_v4_parity_interpret():
-    from flmm_tpu.ops.sam_flash import (
+    from flmm_tpu.ops.sam_flash_experiments import (
         sam_global_attention_v4, sam_window_attention_v4,
     )
 
@@ -169,7 +169,7 @@ def test_sam_flash_v4_parity_interpret():
 
 
 def test_sam_flash_v5_window_parity_interpret():
-    from flmm_tpu.ops.sam_flash import sam_window_attention_v5
+    from flmm_tpu.ops.sam_flash_experiments import sam_window_attention_v5
 
     rng = np.random.default_rng(6)
     side, hd, G = 7, 16, 4
@@ -206,7 +206,7 @@ def test_plain_flash_attention_parity_interpret():
 
 
 def test_sam_flash_v6_parity_interpret():
-    from flmm_tpu.ops.sam_flash import (
+    from flmm_tpu.ops.sam_flash_experiments import (
         sam_global_attention_v6, sam_window_attention_v6,
     )
 
@@ -238,9 +238,11 @@ def test_sam_flash_v7v8v9_parity_interpret():
     v1-v6: the bias rides in the score matmul without a bf16 round-trip,
     f32 inputs stay f32)."""
     from flmm_tpu.ops.sam_flash import (
-        sam_global_attention_v7, sam_global_attention_v8,
-        sam_window_attention_v7, sam_window_attention_v8,
-        sam_window_attention_v9,
+        sam_global_attention_v8, sam_window_attention_v9,
+    )
+    from flmm_tpu.ops.sam_flash_experiments import (
+        sam_global_attention_v7, sam_window_attention_v7,
+        sam_window_attention_v8,
     )
 
     rng = np.random.default_rng(9)
@@ -272,7 +274,7 @@ def test_sam_flash_v7v8v9_parity_interpret():
 def test_sam_flash_v10_spatial_parity_interpret():
     """v10: spatial head-major qkv, BlockSpec window partition, ragged
     edge masking -- matches the einsum reference on the valid region."""
-    from flmm_tpu.ops.sam_flash import (
+    from flmm_tpu.ops.sam_flash_experiments import (
         qkv_head_major_perm, sam_window_attention_v10,
     )
 
