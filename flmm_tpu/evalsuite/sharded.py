@@ -1,14 +1,19 @@
-"""On-device sharded metric accumulation.
+"""Mesh-sharded evaluation.
 
 The reference gathers every prediction to rank 0 and scores in Python
-(accelerate ``gather_object``, multiprocess_eval_refcoco.py:169).  On a
-mesh, this module scores each shard on-device in the fixed SAM frame and
-reduces with ``psum``-style sums -- no host gather of mask tensors.
+(accelerate ``gather_object``, multiprocess_eval_refcoco.py:169).  Here:
 
-The on-device cIoU/mIoU is computed in the 256^2 SAM frame (weighted to
-the valid region), a close, resolution-bounded approximation of the exact
-original-resolution metrics (the host path in evalsuite.runner stays the
-reference-exact scorer).
+* :func:`run_eval_sharded` -- the metric-EXACT path: the model forward
+  runs data-sharded over the mesh, the (small) low-res SAM logits come
+  back to host, and scoring reuses evalsuite.runner's reference-exact
+  per-sample pipeline at ORIGINAL GT resolution -- so sharded results ==
+  host-path results on the same data, for both the RefCOCO and PNG
+  accumulators (per-split thing/stuff/plural metrics included).
+* :func:`make_sharded_eval_step` / :func:`batch_iou_terms` -- a
+  device-only scalar-reduce variant scoring in the fixed SAM prompt
+  frame (resolution-bounded approximation); kept for bandwidth-
+  constrained multi-host deployments where even logits should not be
+  gathered, and documented as approximate.
 """
 
 from __future__ import annotations
@@ -89,6 +94,25 @@ def finalize(terms: dict) -> dict:
     }
 
 
+def make_sharded_predict(model_forward, params, mesh):
+    """``batch -> (B, M, P, P) numpy logits`` with the forward jitted
+    over data-sharded batch inputs.  Drop-in for evalsuite.runner's
+    ``predict_fn``, so the sharded eval reuses the exact host scorer."""
+    import numpy as np
+
+    jitted = jax.jit(lambda p, b: model_forward(p, b)["sam_logits"])
+
+    def predict_np(batch):
+        batch = {k: v for k, v in batch.items() if k != "infos"}
+        batch = jax.tree.map(jnp.asarray, batch)
+        with mesh:
+            sharded = jax.device_put(
+                batch, mesh_lib.batch_shardings(mesh, batch))
+            return np.asarray(jitted(params, sharded))
+
+    return predict_np
+
+
 def run_eval_sharded(
     samples,
     params,
@@ -97,43 +121,29 @@ def run_eval_sharded(
     batch_size: int,
     mesh,
     batch_builder=None,
+    accumulator_factory=None,
+    score_fn=None,
 ) -> dict:
-    """Mesh-sharded eval loop: batches stream through one jitted program
-    whose scalar metric terms XLA reduces across the data axis; the host
-    only ever sees a handful of floats (the gather_object replacement,
-    reference multiprocess_eval_refcoco.py:169).
+    """Mesh-sharded eval loop, metric-exact: the forward is data-sharded
+    over the mesh (the heavy part -- SAM encoder, decoder, heads), the
+    low-res logits return to host, and scoring runs the reference-exact
+    per-sample pipeline at original GT resolution (runner.run_eval), so
+    results match the host path on the same data (reference
+    multiprocess_eval_refcoco.py:136-175).  Defaults to the RefCOCO
+    accumulator; pass ``PNGAccumulator``/``png_score`` for PNG (keeps
+    the per-split thing/stuff/plural metrics,
+    multiprocess_eval_png.py:160-177)."""
+    from flmm_tpu.evalsuite.runner import (
+        RefSegAccumulator, refcoco_score, run_eval,
+    )
 
-    Pad samples within an incomplete final batch get ``mask_valid`` zeroed
-    so they can't contribute.  Scores are computed in the SAM prompt frame
-    (see module docstring); the host path is the reference-exact scorer.
-    """
-    from flmm_tpu.data.collate import build_batch
-
-    build = batch_builder or build_batch
-    step = make_sharded_eval_step(model_forward, mesh)
-    totals: dict | None = None
-    buf: list = []
-
-    def flush():
-        nonlocal totals
-        if not buf:
-            return
-        pad = buf + [buf[-1]] * (batch_size - len(buf))
-        batch = build(pad, spec)
-        batch.pop("infos", None)
-        if len(buf) < batch_size:  # neutralise pad duplicates
-            batch["mask_valid"][len(buf):] = False
-        import jax.numpy as jnp  # noqa: F811
-
-        batch = jax.tree.map(jnp.asarray, batch)
-        terms = jax.tree.map(float, step(params, batch))
-        totals = (terms if totals is None else
-                  {k: totals[k] + terms[k] for k in terms})
-        buf.clear()
-
-    for s in samples:
-        buf.append(s)
-        if len(buf) == batch_size:
-            flush()
-    flush()
-    return finalize(totals) if totals else {}
+    acc = run_eval(
+        samples,
+        make_sharded_predict(model_forward, params, mesh),
+        spec,
+        batch_size,
+        accumulator_factory or RefSegAccumulator,
+        score_fn or refcoco_score,
+        batch_builder=batch_builder,
+    )
+    return acc.results()

@@ -48,10 +48,10 @@ def main():
     p.add_argument("--max-masks", type=int, default=16)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--sharded-eval", action="store_true",
-                   help="data-parallel eval over all devices with on-device"
-                        " psum metric reduction; reports overall AA(=mIoU)/"
-                        "aAcc@0.5 in the SAM frame (per-split metrics need "
-                        "the host scorer)")
+                   help="data-parallel forward over all devices; scoring "
+                        "runs the reference-exact host scorer at original "
+                        "GT resolution, so results (incl. per-split "
+                        "thing/stuff/plural) match the host path")
     p.add_argument("--int8-sam", action="store_true",
                    help="W8A8-quantize the frozen SAM encoder (see "
                         "ops/quant.py)")
@@ -131,9 +131,8 @@ def main():
         out = run_eval_sharded(
             (ds[i] for i in range(n)), params,
             lambda p, b: model.forward(p, cfg, b),
-            bspec, args.batch_size, mesh, batch_builder=build)
-        # AA with a ->0 threshold step integrates to mean IoU
-        out["AA"] = out.pop("mIoU")
+            bspec, args.batch_size, mesh, batch_builder=build,
+            accumulator_factory=PNGAccumulator, score_fn=png_score)
         print(json.dumps(out, indent=2))
         return
     acc = run_eval((ds[i] for i in range(n)), predict_np, bspec,

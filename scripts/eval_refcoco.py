@@ -67,10 +67,10 @@ def main():
                    help="one pass per image instead of per expression")
     p.add_argument("--debug", action="store_true", help="first 100 samples")
     p.add_argument("--sharded-eval", action="store_true",
-                   help="data-parallel eval over all devices with on-device"
-                        " psum metric reduction (evalsuite/sharded.py); "
-                        "scores in the SAM frame instead of original "
-                        "resolution")
+                   help="data-parallel forward over all devices "
+                        "(evalsuite/sharded.py); scoring runs the "
+                        "reference-exact host scorer at original GT "
+                        "resolution, so results match the host path")
     p.add_argument("--int8-sam", action="store_true",
                    help="W8A8-quantize the frozen SAM encoder (2x MXU / "
                         "half the weight HBM; see ops/quant.py)")
