@@ -273,6 +273,100 @@ def sam_trainable(sam_checkpoint: str, cfg) -> dict:
     }
 
 
+def _conv_module(sd: Mapping[str, Any], prefix: str, dtype) -> dict:
+    """One mmcv ConvModule (conv [+bias] + GroupNorm) -> our conv params.
+
+    ``bias='auto'`` in mmcv means no conv bias when a norm follows; the
+    norm submodule name depends on the norm type ('gn' for GroupNorm) --
+    matched tolerantly."""
+    k = _np(sd[prefix + ".conv.weight"]).transpose(2, 3, 1, 0)
+    cout = k.shape[-1]
+    b = (_np(sd[prefix + ".conv.bias"])
+         if prefix + ".conv.bias" in sd else np.zeros((cout,), np.float32))
+    for norm in ("gn", "norm", "bn"):
+        if prefix + f".{norm}.weight" in sd:
+            gw = _np(sd[prefix + f".{norm}.weight"])
+            gb = _np(sd[prefix + f".{norm}.bias"])
+            break
+    else:
+        raise KeyError(f"no norm weights under {prefix}")
+    return {"k": jnp.asarray(k, dtype), "b": jnp.asarray(b, dtype),
+            "gn_w": jnp.asarray(gw, dtype), "gn_b": jnp.asarray(gb, dtype)}
+
+
+def unet_params(sd: Mapping[str, Any], cfg,
+                prefix: str = "mask_head.") -> dict:
+    """mmseg ``UNetHead`` state dict -> our U-Net param tree.
+
+    Key layout (mmseg/models/backbones/unet.py): ``encoder.{i}`` is a
+    Sequential of [MaxPool2d (i>0, no params), BasicConvBlock] whose
+    convs live at ``encoder.{i}.{b}.convs.{j}``; ``decoder.{d}`` is an
+    UpConvBlock with ``upsample.interp_upsample.1`` (InterpConv's conv
+    after the bilinear Upsample) and ``conv_block.convs.{j}``;
+    ``conv_seg`` is the UNetHead 1x1 logit conv
+    (reference flmm/models/mask_head/mask_decoder.py:20-25)."""
+    sub = strip_prefix(dict(sd), prefix)
+    dtype = cfg.dtype
+    enc = []
+    for i in range(cfg.num_stages):
+        b = 0 if i == 0 else 1  # MaxPool2d precedes the block for i > 0
+        if f"encoder.{i}.{b}.convs.0.conv.weight" not in sub and i > 0:
+            b = 0  # stride-based downsampling variant: no pool module
+        enc.append([
+            _conv_module(sub, f"encoder.{i}.{b}.convs.{j}", dtype)
+            for j in range(cfg.enc_num_convs[i])
+        ])
+    dec = []
+    for d in range(cfg.num_stages - 1):
+        dec.append({
+            "up": _conv_module(
+                sub, f"decoder.{d}.upsample.interp_upsample.1", dtype),
+            "convs": [
+                _conv_module(sub, f"decoder.{d}.conv_block.convs.{j}", dtype)
+                for j in range(cfg.dec_num_convs[d])
+            ],
+        })
+    return {
+        "enc": enc,
+        "dec": dec,
+        "seg_k": jnp.asarray(
+            _np(sub["conv_seg.weight"]).transpose(2, 3, 1, 0), dtype),
+        "seg_b": jnp.asarray(_np(sub["conv_seg.bias"]), dtype),
+    }
+
+
+def reference_trained(path: str, cfg) -> dict:
+    """Convert a reference F-LMM TRAINED checkpoint into our trainable
+    tree.
+
+    The reference saves exactly the ``requires_grad`` parameters
+    (flmm/runner.py:131-139): ``mask_head.*`` (mmseg UNetHead),
+    ``text_proj.*``, ``text_layer_weights`` and the fine-tuned
+    ``sam.model.prompt_encoder.* / sam.model.mask_decoder.*`` (the SAM
+    image encoder is frozen and excluded by ``SAMWrapper.state_dict``,
+    mask_refiner.py:126-128).  Together with the frozen loaders this is
+    the full bridge from a released F-LMM checkpoint to this framework.
+    """
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    sd = load_state_dict(path)
+    tp_w = _np(sd["text_proj.weight"])
+    return {
+        "unet": unet_params(sd, base.unet),
+        "text_proj": {
+            "w": jnp.asarray(tp_w.T, jnp.float32),
+            "b": jnp.asarray(_np(sd["text_proj.bias"]), jnp.float32),
+        },
+        "text_layer_weights": jnp.asarray(
+            _np(sd["text_layer_weights"]), jnp.float32),
+        "sam": {
+            "prompt": sam_weights.prompt_encoder_params(
+                sd, base.sam.prompt, prefix="sam.model.prompt_encoder."),
+            "decoder": sam_weights.mask_decoder_params(
+                sd, base.sam.decoder, prefix="sam.model.mask_decoder."),
+        },
+    }
+
+
 # -- helpers ----------------------------------------------------------------
 
 

