@@ -44,6 +44,9 @@ def sam_vit_l(dtype=jnp.bfloat16, flash: bool = True,
             embed_dim=1024, depth=24, num_heads=16,
             global_attn_indexes=(5, 11, 17, 23), dtype=dtype,
             flash_global=flash, flash_window=flash,
+            # whole-block window kernel (ops/window_block.py): measured
+            # 8.5 vs 16.5 ms/window-layer in situ on v5e bs8 round 3
+            window_block_fused=flash,
         ),
         prompt=PromptEncoderConfig(
             dtype=jnp.float32, image_embedding_size=grid,

@@ -328,6 +328,61 @@ def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
     return x + mlp_block(y, bp["mlp"])
 
 
+def _windowize(x: jnp.ndarray, ws: int):
+    """(B, H, W, C) -> window-major (B*nwy*nwx, ws*ws, C) + geometry."""
+    B, H, W, C = x.shape
+    pad_h = (ws - H % ws) % ws
+    pad_w = (ws - W % ws) % ws
+    xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    xw = xp.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    xw = xw.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, C)
+    return xw, (B, H, W, Hp, Wp)
+
+
+def _dewindowize(xw: jnp.ndarray, geom: tuple, ws: int) -> jnp.ndarray:
+    B, H, W, Hp, Wp = geom
+    C = xw.shape[-1]
+    x = xw.reshape(B, Hp // ws, Wp // ws, ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, C)
+    return x[:, :H, :W]
+
+
+def _window_valid_tokens(geom: tuple, ws: int):
+    """(NW, T) bool -- False on geometric pad slots; None when no pad."""
+    import numpy as np
+
+    B, H, W, Hp, Wp = geom
+    if Hp == H and Wp == W:
+        return None
+    v = np.zeros((Hp, Wp), bool)
+    v[:H, :W] = True
+    vw = v.reshape(Hp // ws, ws, Wp // ws, ws).transpose(0, 2, 1, 3)
+    vw = vw.reshape(-1, ws * ws)
+    return jnp.asarray(np.tile(vw, (B, 1)))
+
+
+def _window_block_fused(xw: jnp.ndarray, bp: dict, cfg: SamEncoderConfig,
+                        valid) -> jnp.ndarray:
+    """One whole window block in window-major layout (ops/window_block):
+    the kernel runs LN1+qkv+attention+proj+LN2+MLP with weights resident
+    (qkv never round-trips HBM); only the thin rel-pos bias rows are
+    computed outside from the residual stream."""
+    from flmm_tpu.ops import window_block as wb
+
+    nh, hd, ws = cfg.num_heads, cfg.head_dim, cfg.window_size
+    w_s, b_s = wb.scaled_qkv_weights(bp["wqkv"], bp["bqkv"], nh, hd)
+    C = cfg.embed_dim
+    bias = wb.window_rel_bias_from_x(
+        xw, valid, bp["ln1_w"], bp["ln1_b"], w_s[:, :C], b_s[:C],
+        bp["rel_pos_h"], bp["rel_pos_w"], ws, nh, hd, eps=cfg.ln_eps)
+    mlp = bp["mlp"]
+    return wb.window_block(
+        xw, bias, valid, bp["ln1_w"], bp["ln1_b"], w_s, b_s,
+        bp["wo"], bp["bo"], bp["ln2_w"], bp["ln2_b"],
+        mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"], ws, nh, eps=cfg.ln_eps)
+
+
 def forward(params: dict, cfg: SamEncoderConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     """Encode normalised, corner-padded images.
 
@@ -336,13 +391,37 @@ def forward(params: dict, cfg: SamEncoderConfig, pixels: jnp.ndarray) -> jnp.nda
 
     Returns ``(B, grid, grid, out_chans)`` NHWC image embeddings.
     """
+    from flmm_tpu.ops import window_block as wb
+
     x = conv2d(
         pixels.astype(cfg.dtype), params["patch_kernel"], params["patch_bias"],
         stride=cfg.patch_size,
     )
     x = x + params["pos_embed"].astype(x.dtype)
+    ws = cfg.window_size
+    n_win_img = -(-x.shape[1] // ws) * -(-x.shape[2] // ws)
+    # the whole-block kernel needs enough windows to amortise its fixed
+    # costs: at SAM-448 (4 windows/image) it measured 28.8 vs the flash
+    # path's 32.7 img/s end-to-end, at SAM-1024 (25/image) 16.1 vs 12.7
+    use_wb = (cfg.window_block_fused
+              and (n_win_img >= 25 or wb.INTERPRET)
+              and (jax.default_backend() == "tpu" or wb.INTERPRET))
+    xw = geom = valid = None
     for i, bp in enumerate(params["blocks"]):
-        x = _block(x, bp, cfg, windowed=i not in cfg.global_attn_indexes)
+        windowed = i not in cfg.global_attn_indexes
+        if (use_wb and windowed and "wqkv" in bp and "w1" in bp["mlp"]
+                and cfg.embed_dim % 128 == 0):
+            if xw is None:
+                xw, geom = _windowize(x, cfg.window_size)
+                valid = _window_valid_tokens(geom, cfg.window_size)
+            xw = _window_block_fused(xw, bp, cfg, valid)
+        else:
+            if xw is not None:
+                x = _dewindowize(xw, geom, cfg.window_size)
+                xw = None
+            x = _block(x, bp, cfg, windowed=windowed)
+    if xw is not None:
+        x = _dewindowize(xw, geom, cfg.window_size)
     x = conv2d(x, params["neck0_kernel"])
     x = channel_norm(x, params["neck0_ln_w"], params["neck0_ln_b"], cfg.ln_eps)
     x = conv2d(x, params["neck1_kernel"], padding=1)

@@ -5,7 +5,7 @@ current backend (bs8 SAM ViT-L geometry by default) so kernel work can be
 measured, not guessed.  Usage::
 
     python scripts/kernel_bench.py [--bs 8] \\
-        [--what window,global,encoder,tower,decoder,heads,window_path,rtt]
+        [--what window,global,encoder,wb,tower,decoder,heads,window_path,rtt]
 
 Prints one JSON line per measurement: {"op", "variant", "ms"}.
 """
@@ -166,6 +166,50 @@ def bench_encoder(bs: int, window_kernel: str, global_kernel: str):
     print(json.dumps({"op": "encoder", "variant":
                       f"w={window_kernel},g={global_kernel}",
                       "ms": round(ms, 2)}), flush=True)
+
+
+def bench_wb(bs: int, depth: int = 12):
+    """Window-only depth-limited SAM-L encoder: production flash path
+    (v9 + three-kernel skeleton) vs the whole-block window path
+    (ops/window_block.py).  Per-layer in-situ cost = ms / depth; also
+    prints output agreement between the two paths."""
+    import dataclasses
+
+    import numpy as np
+
+    from flmm_tpu.configs.deepseek_vl import sam_vit_l
+    from flmm_tpu.models.sam import image_encoder
+
+    base = sam_vit_l().encoder
+    outs = {}
+    for name, over in (
+            ("flash", {}),
+            ("whole_block", {"window_block_fused": True})):
+        cfg = dataclasses.replace(base, depth=depth,
+                                  global_attn_indexes=(), **over)
+        params = image_encoder.init_params(cfg, jax.random.key(0))
+        pixels = jax.random.normal(
+            jax.random.key(1), (bs, cfg.img_size, cfg.img_size, 3),
+            jnp.bfloat16) * 0.5
+        fn = lambda px, p, c=cfg: image_encoder.forward(p, c, px)
+        try:
+            ms = timeit_fetch(fn, pixels, params, iters=5)
+            outs[name] = np.asarray(jax.jit(fn)(pixels, params), np.float32)
+            print(json.dumps({"op": "wb", "variant": name, "depth": depth,
+                              "ms": round(ms, 2),
+                              "ms_per_layer": round(ms / depth, 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "wb", "variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    if len(outs) == 2:
+        a, b = outs["flash"], outs["whole_block"]
+        corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+        print(json.dumps({"op": "wb", "variant": "agreement",
+                          "corr": round(corr, 6),
+                          "max_abs_diff": float(np.max(np.abs(a - b))),
+                          "scale": float(np.std(a))}), flush=True)
 
 
 def bench_tower(bs: int):
@@ -360,6 +404,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="window,global")
     ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--depth", type=int, default=12)
     ap.add_argument("--window-variants", default="v1,v6,v7")
     ap.add_argument("--global-variants", default="v3,v6")
     ap.add_argument("--window-kernel", default="v6")
@@ -372,6 +417,8 @@ def main():
         bench_global(args.bs, args.global_variants.split(","))
     if "encoder" in what:
         bench_encoder(args.bs, args.window_kernel, args.global_kernel)
+    if "wb" in what:
+        bench_wb(args.bs, depth=args.depth)
     if "tower" in what:
         bench_tower(args.bs)
     if "decoder" in what:
