@@ -41,11 +41,20 @@ def build(batch_size: int):
     )
 
     @jax.jit
-    def predict(params, batch):
-        out = model.forward(params, cfg, batch)
+    def predict(params, batch, chain):
+        # ``chain`` is the previous iteration's checksum (device scalar,
+        # never fetched mid-run): folding it into the input makes every
+        # iteration data-depend on the one before, so the device MUST
+        # serialise the full compute of all iterations even though the
+        # host only fetches the final scalar -- the honest steady-state
+        # throughput pattern (per-iteration fetches would bill the
+        # ~34 ms relay RTT floor to every batch).
+        b = dict(batch)
+        b["pixel_values"] = batch["pixel_values"] + 1e-12 * chain
+        out = model.forward(params, cfg, b)
         # tiny checksum output: forces real execution on relay backends
         # whose block_until_ready can return before compute finishes
-        return out["sam_logits"], jnp.sum(out["sam_logits"][:, :, ::64, ::64])
+        return jnp.sum(out["sam_logits"][:, :, ::64, ::64])
 
     return predict, params, batch
 
@@ -55,19 +64,24 @@ def run(batch_size: int, iters: int = 6) -> float:
 
     predict, params, batch = build(batch_size)
     # Distinct inputs per iteration: identical dispatches can be memoised by
-    # remote-relay backends, which would fake the timing.
+    # remote-relay backends, which would fake the timing.  (The chained
+    # checksum also perturbs them, but keep an explicit offset too.)
     batches = []
     for i in range(iters + 2):
         b = dict(batch)
         b["pixel_values"] = batch["pixel_values"] + 0.001 * (i + 1)
         batches.append(b)
     # warmup + compile; fetch the checksum to ensure completion
+    chain = jnp.float32(0.0)
     for b in batches[:2]:
-        float(np.asarray(predict(params, b)[1]))
+        chain = predict(params, b, chain)
+        float(np.asarray(chain))
     t0 = time.perf_counter()
     for b in batches[2:]:
-        # fetching the scalar checksum serialises on true completion
-        float(np.asarray(predict(params, b)[1]))
+        chain = predict(params, b, chain)
+    # ONE fetch: its value transitively depends on every iteration's
+    # compute, so this serialises on true completion of the whole run.
+    float(np.asarray(chain))
     dt = time.perf_counter() - t0
     return batch_size * iters / dt
 
