@@ -67,6 +67,16 @@ class SamEncoderConfig:
     # resident -- removes the ~9 ms/layer of XLA partition/head-transpose
     # glue measured in round 2
     window_block_fused: bool = False
+    # whole-block GLOBAL layers (ops/global_block.py): LN1 + per-head qkv
+    # + augmented-K global attention + out-proj + residual in one kernel
+    # with head-major streamed weights.  Measured a TIE with the v8-flash
+    # + fused-skeleton production path on v5e (global-only depth-6
+    # encoder, `kernel_bench --what gb`: 27.07 vs 27.32 ms/layer at bs 8,
+    # 16.53 vs 16.26 at bs 4) -- unlike the window case there is no
+    # partition/transpose glue to remove, and the in-kernel qkv matmul
+    # merely relocates MXU work.  Kept as a tested experiment, off by
+    # default.
+    global_block_fused: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -383,6 +393,27 @@ def _window_block_fused(xw: jnp.ndarray, bp: dict, cfg: SamEncoderConfig,
         mlp["w1"], mlp["b1"], mlp["w2"], mlp["b2"], ws, nh, eps=cfg.ln_eps)
 
 
+def _global_block_fused(x: jnp.ndarray, bp: dict,
+                        cfg: SamEncoderConfig) -> jnp.ndarray:
+    """One whole global block via ops/global_block: fused
+    LN1+qkv+global-attention+proj+residual (head-major streamed weights,
+    qkv never in HBM), then the existing fused LN2+MLP kernel."""
+    from flmm_tpu.ops import global_block as gb
+    from flmm_tpu.ops import window_block as wb
+
+    B, H, W, C = x.shape
+    nh, hd = cfg.num_heads, cfg.head_dim
+    w_s, b_s = wb.scaled_qkv_weights(bp["wqkv"], bp["bqkv"], nh, hd)
+    xs = x.reshape(B, H * W, C)
+    bias = gb.global_rel_bias_from_x(
+        xs, bp["ln1_w"], bp["ln1_b"], w_s[:, :C], b_s[:C],
+        bp["rel_pos_h"], bp["rel_pos_w"], H, nh, hd, eps=cfg.ln_eps)
+    o = gb.global_attn_block(
+        xs, bias, bp["ln1_w"], bp["ln1_b"], w_s, b_s,
+        bp["wo"], bp["bo"], H, nh, eps=cfg.ln_eps)
+    return _ln_mlp_residual(o.astype(cfg.dtype).reshape(B, H, W, C), bp, cfg)
+
+
 def forward(params: dict, cfg: SamEncoderConfig, pixels: jnp.ndarray) -> jnp.ndarray:
     """Encode normalised, corner-padded images.
 
@@ -419,7 +450,14 @@ def forward(params: dict, cfg: SamEncoderConfig, pixels: jnp.ndarray) -> jnp.nda
             if xw is not None:
                 x = _dewindowize(xw, geom, cfg.window_size)
                 xw = None
-            x = _block(x, bp, cfg, windowed=windowed)
+            if (cfg.global_block_fused and use_wb and not windowed
+                    and "wqkv" in bp
+                    and "w1" in bp["mlp"] and cfg.embed_dim % 128 == 0
+                    and x.shape[1] == x.shape[2]
+                    and (x.shape[1] * x.shape[2]) % 256 == 0):
+                x = _global_block_fused(x, bp, cfg)
+            else:
+                x = _block(x, bp, cfg, windowed=windowed)
     if xw is not None:
         x = _dewindowize(xw, geom, cfg.window_size)
     x = conv2d(x, params["neck0_kernel"])

@@ -1,0 +1,240 @@
+"""Whole-block fused GLOBAL attention layer for the SAM ViTDet encoder.
+
+**Measured verdict (v5e, round 3): a TIE with the production path --
+kept as a tested experiment, OFF by default** (gate:
+``SamEncoderConfig.global_block_fused``).  Global-only depth-6 encoder
+(``kernel_bench --what gb``): 27.07 (this kernel) vs 27.32 ms/layer
+(v8 flash + fused skeleton) at bs 8, 16.53 vs 16.26 at bs 4; output
+agreement corr 0.99997.  Unlike the 196-token window case -- where one
+kernel per layer removed ~9 ms of XLA partition/head-transpose glue --
+the global layer has no window partition, its head reshape is one
+cheap transpose, and the in-kernel per-head qkv matmul merely
+relocates MXU work while serialising it against the attention; the
+three-kernel production path already overlaps them across layers.
+
+Round-3 follow-up to :mod:`flmm_tpu.ops.window_block`: after the window
+layers moved to one-kernel-per-layer, the per-global-layer cost was
+pinned at ~20.8 ms in situ (v5e bs8, SAM-L 1024) against a floor of
+roughly ``max(MXU ~8.6, VPU-softmax ~9)`` for the attention plus ~5 ms
+of projections/MLP.  The measured slack is XLA glue: the augmented-K
+operand staging (``a``/``b`` are ~256 MB/layer each), the per-head
+``(B, S, nh, hd) -> (B*nh, S, hd)`` transposes, and the qkv HBM
+round-trip between the three fused kernels.
+
+This module removes that glue for the attention half of the block:
+
+* :func:`global_attn_block` runs LN1 + per-head qkv projection +
+  augmented-K global attention (base-2 softmax, the production v8
+  scheme: ``[q*scale | bias_h | bias_w] @ [k ; sel_h ; sel_w]^T``) +
+  output projection + residual in ONE kernel.  The grid is
+  ``(B, num_heads)``; the qkv weights are pre-arranged HEAD-MAJOR
+  ``(nh, C, 3*hd)`` so each grid step streams its own head's weight
+  block and computes q/k/v from the LN-ed activations held in VMEM
+  scratch -- the v10 lesson (in-kernel dynamic lane slices at
+  ``h*hd`` offsets relayout everything) is avoided structurally, and
+  the qkv tensor never exists in HBM at all.
+* the per-head output-projection contribution ``attn_h @ Wo[h]`` is
+  accumulated directly into the f32 residual held in the revisited
+  output block, so the residual rounds to bf16 exactly once (same
+  numerics as the dense path's single f32 accumulation).
+* scores are software-pipelined over query chunks (head h's softmax
+  overlaps chunk i+1's score matmul) exactly as in the v8 kernel.
+
+The MLP half stays in the existing :func:`~flmm_tpu.ops.fused_block.
+fused_ln_mlp` kernel: unlike the 196-token window case (where the
+activation round-trip measured ~3 ms/layer), the global layer's
+activation traffic is ~0.3 ms and keeping the MLP separate holds peak
+VMEM near ~50 MB instead of ~95 MB.
+
+The thin decomposed rel-pos bias rows are computed OUTSIDE by one
+batched einsum (:func:`global_rel_bias_from_x`), exactly as the window
+path does -- the in-kernel alternative is y-batched 64x64 matmuls,
+MXU-latency-bound.
+
+Reference semantics: segment_anything/modeling/image_encoder.py Block
+(:119-241) with decomposed rel-pos (add_decomposed_rel_pos:325); global
+layers see the full (side*side) token grid, no padding.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from flmm_tpu.ops.window_block import _masked_ln
+
+# Tests flip this to run through the Pallas interpreter on CPU.
+INTERPRET = False
+
+
+def head_major_qkv(wqkv_s: jnp.ndarray, bqkv_s: jnp.ndarray, nh: int,
+                   hd: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(C, 3C)`` scaled qkv weights -> head-major ``(nh, C, 3*hd)``
+    blocks (per-head column order ``[q | k | v]``) + matching bias
+    ``(nh, 1, 3*hd)``, so the kernel grid can stream one head's weights
+    per step with static in-kernel lane offsets."""
+    C = nh * hd
+    w = wqkv_s.reshape(C, 3, nh, hd).transpose(2, 0, 1, 3).reshape(
+        nh, C, 3 * hd)
+    b = bqkv_s.reshape(3, nh, hd).transpose(1, 0, 2).reshape(nh, 1, 3 * hd)
+    return w, b
+
+
+def global_rel_bias_from_x(
+    x: jnp.ndarray, ln_w: jnp.ndarray, ln_b: jnp.ndarray,
+    wq_s: jnp.ndarray, bq_s: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, nh: int, hd: int, eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Decomposed rel-pos bias rows for every (image, head), in the log2
+    softmax domain, recomputed from the residual stream (one batched q
+    einsum; the full qkv never round-trips HBM).
+
+    Args:
+      x: ``(B, S, C)`` spatial-major residual stream, ``S = side*side``.
+      wq_s, bq_s: the q-third of
+        :func:`~flmm_tpu.ops.window_block.scaled_qkv_weights` output.
+
+    Returns ``(B, nh, S, 2*side)``.
+    """
+    B, S, C = x.shape
+    assert S == side * side
+    y = _masked_ln(x, ln_w, ln_b, None, eps).astype(x.dtype)
+    q = (jnp.einsum("btc,cd->btd", y, wq_s,
+                    preferred_element_type=jnp.float32)
+         + bq_s.astype(jnp.float32)).astype(x.dtype)
+    q = q.reshape(B, side, side, nh, hd)
+    coords = jnp.arange(side)[:, None] - jnp.arange(side)[None, :] + side - 1
+    # q carries scale*log2e already; fold the residual sqrt(hd) back in
+    mult = math.sqrt(hd)
+    rh = (rel_pos_h[coords] * mult).astype(x.dtype)  # (side, side, hd)
+    rw = (rel_pos_w[coords] * mult).astype(x.dtype)
+    bias_h = jnp.einsum("byxhd,ykd->bhyxk", q, rh,
+                        preferred_element_type=jnp.float32)
+    bias_w = jnp.einsum("byxhd,xkd->bhyxk", q, rw,
+                        preferred_element_type=jnp.float32)
+    bias = jnp.concatenate([bias_h, bias_w], axis=-1)
+    return bias.reshape(B, nh, S, 2 * side).astype(x.dtype)
+
+
+def _attn_kernel(x_ref, bias_ref, ln1w_ref, ln1b_ref, wh_ref, bh_ref,
+                 wo_ref, bo_ref, o_ref, y1_scr, *,
+                 side: int, nh: int, hd: int, eps: float, kp: int,
+                 block_q: int):
+    """One (image, head) grid step of the fused global block."""
+    S = side * side
+    dt = x_ref.dtype
+    h = pl.program_id(1)
+
+    @pl.when(h == 0)
+    def _init():
+        x = x_ref[0]
+        y1_scr[...] = _masked_ln(x, ln1w_ref[...], ln1b_ref[...],
+                                 None, eps).astype(dt)
+        o_ref[0] = x.astype(jnp.float32) + bo_ref[...].astype(jnp.float32)
+
+    # this head's q/k/v from the VMEM-resident LN output (weights are a
+    # streamed head-major block -- static lane offsets, no relayouts)
+    qkv = jnp.dot(y1_scr[...], wh_ref[0],
+                  preferred_element_type=jnp.float32)
+    qkv = (qkv + bh_ref[0].astype(jnp.float32)).astype(dt)
+    q, k, v = qkv[:, :hd], qkv[:, hd:2 * hd], qkv[:, 2 * hd:]
+
+    # augmented-K operand: [k | sel_h | sel_w | 0] (S, kp)
+    jr = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * side), 0)
+    jc = jax.lax.broadcasted_iota(jnp.int32, (S, 2 * side), 1)
+    sel = (((jc < side) & (jc == jr // side))
+           | ((jc >= side) & (jc - side == jr % side))).astype(dt)
+    zpad = jnp.zeros((S, kp - hd - 2 * side), dt)
+    b = jnp.concatenate([k, sel, zpad], axis=1)
+
+    zq = jnp.zeros((block_q, kp - hd - 2 * side), dt)
+
+    def score(i):
+        a = jnp.concatenate(
+            [q[i * block_q:(i + 1) * block_q],
+             bias_ref[0, 0, i * block_q:(i + 1) * block_q], zq], axis=1)
+        return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+
+    n_b = S // block_q
+    s_next = score(0)
+    for i in range(n_b):
+        s = s_next
+        if i + 1 < n_b:
+            s_next = score(i + 1)
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = p.sum(axis=1, keepdims=True)
+        attn = (jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
+                / jnp.maximum(l, 1e-30)).astype(dt)
+        rows = slice(i * block_q, (i + 1) * block_q)
+        o_ref[0, rows] = o_ref[0, rows] + jnp.dot(
+            attn, wo_ref[0], preferred_element_type=jnp.float32)
+
+
+def global_attn_block(
+    x: jnp.ndarray, bias: jnp.ndarray,
+    ln1_w: jnp.ndarray, ln1_b: jnp.ndarray,
+    wqkv_s: jnp.ndarray, bqkv_s: jnp.ndarray,
+    wo: jnp.ndarray, bo: jnp.ndarray,
+    side: int, num_heads: int,
+    eps: float = 1e-6, block_q: int = 256,
+    interpret: bool | None = None, vmem_mb: int = 112,
+) -> jnp.ndarray:
+    """Fused global-attention half-block: LN1 + qkv + augmented-K global
+    attention + output projection + residual, one kernel.
+
+    Args:
+      x: ``(B, S, C)`` spatial-major residual stream (``S = side*side``).
+      bias: ``(B, nh, S, 2*side)`` log2-domain rel-pos rows
+        (:func:`global_rel_bias_from_x`).
+      wqkv_s, bqkv_s: :func:`~flmm_tpu.ops.window_block.
+        scaled_qkv_weights` output (original ``(C, 3C)`` layout; the
+        head-major rearrangement happens here).
+
+    Returns the pre-LN2 residual ``(B, S, C)`` in **f32** (the caller
+    casts once -- same rounding profile as the dense path).
+    """
+    if interpret is None:
+        interpret = INTERPRET
+    B, S, C = x.shape
+    nh = num_heads
+    hd = C // nh
+    assert S == side * side and wqkv_s.shape == (C, 3 * C)
+    assert bias.shape == (B, nh, S, 2 * side), bias.shape
+    while S % block_q:
+        block_q //= 2
+    kp = ((hd + 2 * side + 127) // 128) * 128
+    wh, bh = head_major_qkv(wqkv_s, bqkv_s, nh, hd)
+    # head-major wo: (nh, hd, C) row blocks
+    woh = wo.reshape(nh, hd, C)
+
+    kernel = functools.partial(
+        _attn_kernel, side=side, nh=nh, hd=hd, eps=eps, kp=kp,
+        block_q=block_q)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, nh),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, 1, S, 2 * side), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, C), lambda b, h: (0, 0)),
+            pl.BlockSpec((1, C), lambda b, h: (0, 0)),
+            pl.BlockSpec((1, C, 3 * hd), lambda b, h: (h, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * hd), lambda b, h: (h, 0, 0)),
+            pl.BlockSpec((1, hd, C), lambda b, h: (h, 0, 0)),
+            pl.BlockSpec((1, C), lambda b, h: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b, h: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((S, C), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+        interpret=interpret,
+    )(x, bias, ln1_w.reshape(1, C), ln1_b.reshape(1, C),
+      wh, bh, woh, bo.reshape(1, C))

@@ -5,7 +5,7 @@ current backend (bs8 SAM ViT-L geometry by default) so kernel work can be
 measured, not guessed.  Usage::
 
     python scripts/kernel_bench.py [--bs 8] \\
-        [--what window,global,encoder,wb,tower,decoder,heads,window_path,rtt]
+        [--what window,global,encoder,wb,gb,boundary,tower,decoder,heads,window_path,rtt]
 
 Prints one JSON line per measurement: {"op", "variant", "ms"}.
 """
@@ -182,8 +182,11 @@ def bench_wb(bs: int, depth: int = 12):
 
     base = sam_vit_l().encoder
     outs = {}
+    # NB: window_block_fused defaults ON in sam_vit_l() since round 3;
+    # the flash baseline must force it off or both variants are the
+    # same path (betrayed by corr == 1.0 exactly).
     for name, over in (
-            ("flash", {}),
+            ("flash", {"window_block_fused": False}),
             ("whole_block", {"window_block_fused": True})):
         cfg = dataclasses.replace(base, depth=depth,
                                   global_attn_indexes=(), **over)
@@ -210,6 +213,71 @@ def bench_wb(bs: int, depth: int = 12):
                           "corr": round(corr, 6),
                           "max_abs_diff": float(np.max(np.abs(a - b))),
                           "scale": float(np.std(a))}), flush=True)
+
+
+def bench_gb(bs: int, depth: int = 4):
+    """Global-only depth-limited SAM-L encoder: dense XLA global blocks vs
+    the whole-block fused global path (ops/global_block.py).  Per-layer
+    in-situ cost = ms / depth; also prints output agreement."""
+    import dataclasses
+
+    import numpy as np
+
+    from flmm_tpu.configs.deepseek_vl import sam_vit_l
+    from flmm_tpu.models.sam import image_encoder
+
+    base = sam_vit_l().encoder
+    outs = {}
+    for name, fused in (("dense", False), ("whole_block", True)):
+        # the forward gate requires BOTH flags: use_wb (window_block_fused
+        # + window-count + backend) arms the whole-block machinery, and
+        # global_block_fused selects the fused global path within it
+        cfg = dataclasses.replace(
+            base, depth=depth, global_attn_indexes=tuple(range(depth)),
+            window_block_fused=fused, global_block_fused=fused)
+        params = image_encoder.init_params(cfg, jax.random.key(0))
+        pixels = jax.random.normal(
+            jax.random.key(1), (bs, cfg.img_size, cfg.img_size, 3),
+            jnp.bfloat16) * 0.5
+        fn = lambda px, p, c=cfg: image_encoder.forward(p, c, px)
+        try:
+            ms = timeit_fetch(fn, pixels, params, iters=5)
+            outs[name] = np.asarray(jax.jit(fn)(pixels, params), np.float32)
+            print(json.dumps({"op": "gb", "variant": name, "depth": depth,
+                              "bs": bs, "ms": round(ms, 2),
+                              "ms_per_layer": round(ms / depth, 2)}),
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"op": "gb", "variant": name,
+                              "error": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
+    if len(outs) == 2:
+        a, b = outs["dense"], outs["whole_block"]
+        corr = float(np.corrcoef(a.ravel(), b.ravel())[0, 1])
+        print(json.dumps({"op": "gb", "variant": "agreement",
+                          "corr": round(corr, 6),
+                          "max_abs_diff": float(np.max(np.abs(a - b))),
+                          "scale": float(np.std(a))}), flush=True)
+
+
+def bench_boundary(bs: int):
+    """Cost of one dewindowize+windowize round-trip at ViT-L 1024 geometry
+    (the spatial<->window-major relayout the encoder pays around every
+    global layer: 4 pairs per image).  In-graph chained, value-preserving
+    (the chain carry is the relayouted tensor itself)."""
+    from flmm_tpu.models.sam import image_encoder as enc
+
+    C, ws, side = 1024, 14, 64
+    x = jax.random.normal(jax.random.key(0), (bs, side, side, C),
+                          jnp.bfloat16)
+
+    def pair(x):
+        xw, geom = enc._windowize(x, ws)
+        return enc._dewindowize(xw + 0.0, geom, ws)
+
+    ms = timeit(pair, x, iters=20)
+    print(json.dumps({"op": "boundary", "variant": "dewin+win pair",
+                      "bs": bs, "ms": round(ms, 3)}), flush=True)
 
 
 def bench_tower(bs: int):
@@ -419,6 +487,10 @@ def main():
         bench_encoder(args.bs, args.window_kernel, args.global_kernel)
     if "wb" in what:
         bench_wb(args.bs, depth=args.depth)
+    if "gb" in what:
+        bench_gb(args.bs, depth=min(args.depth, 6))
+    if "boundary" in what:
+        bench_boundary(args.bs)
     if "tower" in what:
         bench_tower(args.bs)
     if "decoder" in what:
