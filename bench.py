@@ -33,6 +33,13 @@ def build(batch_size: int):
     # reduced-resolution schedule for speed/accuracy-tradeoff measurement.
     cfg = deepseek_vl_1_3b(
         sam_img_size=int(os.environ.get("BENCH_SAM_SIZE", "1024")))
+    if os.environ.get("BENCH_GLOBAL_BLOCK") == "1":
+        # A/B knob for the whole-block global-layer kernel experiment
+        # (ops/global_block.py; see SamEncoderConfig.global_block_fused)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, sam=dataclasses.replace(
+            cfg.sam, encoder=dataclasses.replace(
+                cfg.sam.encoder, global_block_fused=True)))
     params = model.init_params(cfg, jax.random.key(0))
     batch = jax.tree.map(
         jnp.asarray,

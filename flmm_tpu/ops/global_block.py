@@ -5,7 +5,12 @@ kept as a tested experiment, OFF by default** (gate:
 ``SamEncoderConfig.global_block_fused``).  Global-only depth-6 encoder
 (``kernel_bench --what gb``): 27.07 (this kernel) vs 27.32 ms/layer
 (v8 flash + fused skeleton) at bs 8, 16.53 vs 16.26 at bs 4; output
-agreement corr 0.99997.  Unlike the 196-token window case -- where one
+agreement corr 0.99997.  Re-measured after the gate moved to its own
+``global_block_fused`` flag: 16.08 vs 17.71 gross/layer at bs 4 (the
+spread is relay-fetch jitter), and END-TO-END ``bench.py`` with
+``BENCH_GLOBAL_BLOCK=1`` measures 18.29 vs 18.22 img/s under the
+chained steady-state clock -- a tie within run noise, confirming the
+per-layer verdict at the pipeline level.  Unlike the 196-token window case -- where one
 kernel per layer removed ~9 ms of XLA partition/head-transpose glue --
 the global layer has no window partition, its head reshape is one
 cheap transpose, and the in-kernel per-head qkv matmul merely
