@@ -17,6 +17,7 @@ SAM) are jitted functions cached per input shape.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any
 
 import numpy as np
@@ -64,6 +65,11 @@ def make_grounder(family: str, cfg, params, tokenizer, **kw):
         kw.setdefault("processor", ProcessorConfig(
             size=base.input_size, size_rule=FAMILY_SIZE_RULES[family]))
     fields = {f.name for f in dataclasses.fields(cls)}
+    dropped = sorted(k for k in kw if k not in fields)
+    if dropped:
+        warnings.warn(
+            f"make_grounder: {cls.__name__} (family {family!r}) does not "
+            f"support {dropped}; these arguments are ignored", stacklevel=2)
     kw = {k: v for k, v in kw.items() if k in fields}
     return cls(cfg=cfg_arg, params=params, tokenizer=tokenizer,
                prompt_template=template, image_token=image_token, **kw)
@@ -82,7 +88,8 @@ def _sentinel_image_token_id(tokenizer, image_token: str) -> int:
 
 def encode_with_images(tokenizer, template: dict, content: str,
                        image_token: str, n_img: int, image_token_id: int,
-                       suffix: str = "") -> tuple[np.ndarray, list[int]]:
+                       suffix: str = "",
+                       n_markers: int | None = 1) -> tuple[np.ndarray, list[int]]:
     """Tokenise a template-rendered prompt containing one ``image_token``
     marker per image, splicing ``n_img`` sentinel ids at each marker.
 
@@ -92,12 +99,18 @@ def encode_with_images(tokenizer, template: dict, content: str,
     tokenizers that would fragment it (``<image>`` under vicuna/gemma)
     still produce a clean contiguous image block.  ``suffix`` is appended
     after the rendered template (forced generation prefixes, reference
-    visual_cot_v1:252).  Returns ``(ids, starts)`` with one block start
+    visual_cot_v1:252).  ``n_markers`` bounds the split (default 1, the
+    single-image grounding convention): a *question* containing the
+    literal marker string is then tokenised as text instead of being
+    mis-spliced into an extra image block.  Pass ``None`` for unbounded
+    multi-image prompts.  Returns ``(ids, starts)`` with one block start
     per marker.
     """
     rendered = tok.PromptSpec(template, content).render() + suffix
-    parts = rendered.split(image_token)
-    assert len(parts) > 1, f"prompt does not contain {image_token!r}"
+    parts = (rendered.split(image_token) if n_markers is None
+             else rendered.split(image_token, n_markers))
+    if len(parts) < 2:
+        raise ValueError(f"prompt does not contain {image_token!r}")
     ids: list[int] = list(tokenizer.encode(parts[0], add_special_tokens=True))
     starts: list[int] = []
     for part in parts[1:]:
@@ -236,13 +249,17 @@ class Grounder:
         sam = sam_preprocess(image, self.cfg.sam.encoder.img_size)
         return proc, sam
 
-    def _encode_content(self, content: str,
-                        suffix: str = "") -> tuple[np.ndarray, list[int]]:
+    def _encode_content(self, content: str, suffix: str = "",
+                        n_markers: int = 1) -> tuple[np.ndarray, list[int]]:
         """Tokenise template-rendered ``content`` (one ``image_token``
-        marker per image) via the split-splice convention."""
+        marker per image) via the split-splice convention.  ``n_markers``
+        is the number of images the caller actually supplies — any
+        further occurrences of the marker string (e.g. in a user
+        question) are kept as plain text."""
         return encode_with_images(
             self.tokenizer, self.prompt_template, content, self.image_token,
-            self.cfg.num_img_tokens, self.image_token_id, suffix=suffix)
+            self.cfg.num_img_tokens, self.image_token_id, suffix=suffix,
+            n_markers=n_markers)
 
     def answer(self, image, question: str, max_new_tokens: int | None = None):
         """Generate an answer while caching attention/hidden per step."""
@@ -389,7 +406,7 @@ class Grounder:
             f"might help you answer the question: "
             f"{question}{self.additional_prompt}"
         )
-        ids, starts = self._encode_content(content)
+        ids, starts = self._encode_content(content, n_markers=2)
         img_start = starts[0]
         px1 = square_pad_preprocess(image, self.processor)["pixel_values"]
         px2 = square_pad_preprocess(crop, self.processor)["pixel_values"]
@@ -749,7 +766,7 @@ class MGMGrounder(Grounder):
             f"that might help you answer the question: "
             f"{question}{self.additional_prompt}"
         )
-        ids, starts = self._encode_content(content)
+        ids, starts = self._encode_content(content, n_markers=2)
         img_start = starts[0]
         from flmm_tpu.data.mgm import mgm_process
 

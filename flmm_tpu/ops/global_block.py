@@ -219,6 +219,24 @@ def global_attn_block(
     # head-major wo: (nh, hd, C) row blocks
     woh = wo.reshape(nh, hd, C)
 
+    # Derive the VMEM request from the actual resident footprint of one
+    # (b, h) grid step instead of assuming the v5e-probed 112 MB is safe
+    # everywhere: x block + f32 out block + scratch + bias rows + the
+    # per-head qkv/out weight blocks, double-buffered, plus headroom.
+    # ``vmem_mb`` stays the ceiling (112 MB probed OK on v5e; ~128 MB is
+    # the physical VMEM of current generations) -- if the derived need
+    # exceeds it we fail loudly at trace time instead of in Mosaic.
+    ebytes = jnp.dtype(x.dtype).itemsize
+    resident = (S * C * (2 * ebytes + 4)      # x + scratch (dt), out (f32)
+                + S * 2 * side * ebytes       # rel-pos bias rows
+                + (C * 3 * hd + hd * C + 5 * C) * ebytes)  # weights/biases
+    need_mb = (2 * resident) // (1024 * 1024) + 16
+    if need_mb > vmem_mb:
+        raise ValueError(
+            f"global_attn_block: derived VMEM need ~{need_mb} MB for "
+            f"S={S}, C={C} exceeds the {vmem_mb} MB ceiling (112 MB was "
+            f"probed on v5e; raise vmem_mb only after probing the target "
+            f"TPU generation)")
     kernel = functools.partial(
         _attn_kernel, side=side, nh=nh, hd=hd, eps=eps, kp=kp,
         block_q=block_q)
@@ -239,7 +257,7 @@ def global_attn_block(
         out_shape=jax.ShapeDtypeStruct((B, S, C), jnp.float32),
         scratch_shapes=[pltpu.VMEM((S, C), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_mb * 1024 * 1024),
+            vmem_limit_bytes=max(need_mb, 64) * 1024 * 1024),
         interpret=interpret,
     )(x, bias, ln1_w.reshape(1, C), ln1_b.reshape(1, C),
       wh, bh, woh, bo.reshape(1, C))

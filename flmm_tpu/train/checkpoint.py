@@ -39,6 +39,29 @@ def restore(path: str | pathlib.Path, template: Any) -> Any:
         return ckptr.restore(path, abstract)
 
 
+def restore_trainable(path: str | pathlib.Path, cfg, trainable: Any) -> Any:
+    """Restore the trainable tree from either checkpoint flavour.
+
+    Dispatches on the path: a torch file suffix (``.pth``/``.bin``/
+    ``.pt``/``.safetensors``) goes through the released-F-LMM-checkpoint
+    bridge (:func:`flmm_tpu.convert.load.reference_trained`, the exact
+    ``requires_grad`` set the reference runner saves, flmm/runner.py:
+    131-139); anything else is an Orbax train-state directory saved by
+    our own trainer.  Shared by the eval/demo/CoT CLIs so ``--trained``
+    accepts a released checkpoint directly."""
+    import jax.numpy as jnp
+
+    if str(path).endswith((".pth", ".bin", ".pt", ".safetensors")):
+        from flmm_tpu.convert import load as conv
+
+        return jax.tree.map(jnp.asarray, conv.reference_trained(str(path), cfg))
+    from flmm_tpu.train import loop as train_loop
+
+    opt = train_loop.make_optimizer(train_loop.OptimConfig())
+    state = train_loop.init_state(trainable, opt)
+    return restore(path, state)["params"]
+
+
 def latest(dirpath: str | pathlib.Path) -> pathlib.Path | None:
     """Find the newest ``step_*`` checkpoint in a directory (auto-resume,
     reference flmm/runner.py:25-29)."""

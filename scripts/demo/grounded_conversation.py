@@ -72,11 +72,8 @@ def main():
                                      args.sam_checkpoint)
     params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
     if args.trained:
-        from flmm_tpu.train import loop as train_loop
-
-        opt = train_loop.make_optimizer(train_loop.OptimConfig())
-        state = train_loop.init_state(params["trainable"], opt)
-        params["trainable"] = ckpt.restore(args.trained, state)["params"]
+        params["trainable"] = ckpt.restore_trainable(
+            args.trained, cfg, params["trainable"])
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     from flmm_tpu.generation.api import make_grounder

@@ -62,6 +62,11 @@ def main():
     base = cfg.base if hasattr(cfg, "base") else cfg
     model = get_model(args.family)
     params = model.init_params(cfg, jax.random.key(0))
+    if args.trained:
+        from flmm_tpu.train import checkpoint as ckpt
+
+        params["trainable"] = ckpt.restore_trainable(
+            args.trained, cfg, params["trainable"])
 
     if args.synthetic:
         from flmm_tpu.data.synthetic import synthetic_batch

@@ -83,12 +83,8 @@ def main():
         args.checkpoint, cfg, args.sam_checkpoint, **extra)
     params["frozen"].update(jax.tree.map(jnp.asarray, frozen))
     if args.trained:
-        from flmm_tpu.train import loop as train_loop
-
-        opt = train_loop.make_optimizer(train_loop.OptimConfig())
-        state = train_loop.init_state(params["trainable"], opt)
-        state = ckpt.restore(args.trained, state)
-        params["trainable"] = state["params"]
+        params["trainable"] = ckpt.restore_trainable(
+            args.trained, cfg, params["trainable"])
     if args.int8_sam:
         from flmm_tpu.models.frozen.grounding import quantize_frozen_sam
 
