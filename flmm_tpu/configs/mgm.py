@@ -122,10 +122,14 @@ def mgm_mistral_7b(dtype=jnp.bfloat16, img_start: int = 4) -> MGMConfig:
 def eva_g_14(image_size: int = 336, dtype=jnp.bfloat16) -> ViTConfig:
     """EVA-G/14 tower (MGM alternative encoder, reference
     mgm/model/multimodal_encoder/eva_encoder.py:453-465): dim 1408, depth
-    39, head dim 88, mlp ratio 4.3637, class token, final LayerNorm."""
+    39, head dim 88, mlp ratio 4.3637, class token, NO final LayerNorm --
+    the vendored VisionTransformer comments out ``self.norm``
+    (eva_encoder.py:285-287) and ``load_state_dict(strict=False)``
+    (eva_encoder.py:469) silently drops the checkpoint's ``norm.*`` keys,
+    so EVAVisionTower.forward returns the raw last-block output."""
     return ViTConfig(
         hidden_size=1408, num_layers=39, num_heads=16, patch_size=14,
         image_size=image_size, mlp_dim=int(1408 * 4.3637),
         use_class_token=True, use_pre_norm=False, patch_bias=True,
-        act="gelu", ln_eps=1e-6, final_norm=True, dtype=dtype,
+        act="gelu", ln_eps=1e-6, final_norm=False, dtype=dtype,
     )

@@ -237,7 +237,14 @@ def eva_vit_params(
     pos = get("pos_embed")
     if pos.ndim == 3:
         pos = pos[0]
+    # The vendored EVA model has no final norm (eva_encoder.py:285-287;
+    # the checkpoint's norm.* keys are dropped by strict=False at :469) --
+    # only attach final-LN weights when the config actually applies them.
+    final = ({"final_ln_w": jnp.asarray(get("norm.weight"), dtype),
+              "final_ln_b": jnp.asarray(get("norm.bias"), dtype)}
+             if cfg.final_norm else {})
     return {
+        **final,
         "patch_kernel": jnp.asarray(
             get("patch_embed.proj.weight").transpose(2, 3, 1, 0), dtype),
         "patch_bias": jnp.asarray(get("patch_embed.proj.bias"), dtype),
@@ -257,8 +264,6 @@ def eva_vit_params(
             "w2": stack("blocks.{i}.mlp.fc2.weight"),
             "b2": stack("blocks.{i}.mlp.fc2.bias", False),
         },
-        "final_ln_w": jnp.asarray(get("norm.weight"), dtype),
-        "final_ln_b": jnp.asarray(get("norm.bias"), dtype),
     }
 
 
