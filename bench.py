@@ -1,10 +1,20 @@
 """End-to-end grounding throughput benchmark (single chip).
 
-Measures the full F-LMM predict path on the flagship DeepSeek-VL-1.3B
-geometry with random bf16 weights: SigLIP-L/384 tower -> aligner -> frozen
-1.3B decoder with fused attention capture -> U-Net -> SAM ViT-L encoder ->
-prompt/mask decoder.  Metric: grounded images/sec/chip end-to-end
-(BASELINE.json target: >= 20 on v5e).
+Measures the full F-LMM predict path at real released-model geometry
+with random bf16 weights.  Default: the flagship DeepSeek-VL-1.3B
+(SigLIP-L/384 tower -> aligner -> frozen 1.3B decoder with fused
+attention capture -> U-Net -> SAM ViT-L encoder -> prompt/mask decoder).
+Metric: grounded images/sec/chip end-to-end (BASELINE.json target: >= 20
+on v5e).
+
+Env knobs (the driver contract -- ONE JSON line on stdout -- holds for
+any combination):
+  BENCH_FAMILY   deepseek_vl (default) | llava_next | mgm | llava | hpt
+  BENCH_PRESET   family preset (default: the flagship per family)
+  BENCH_SAM_SIZE SAM encoder resolution (default 1024 = reference-exact;
+                 the reduced-resolution deployment schedule)
+  BENCH_BS       comma list of batch sizes to try (default "4,8,2,1")
+  BENCH_ITERS    chained steady-state iterations (default 6)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -12,40 +22,89 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
+FLAGSHIP = {
+    "deepseek_vl": "1_3b",
+    "llava": "1_5_7b",
+    "llava_next": "vicuna_7b",
+    "mgm": "gemma_2b",
+    "hpt": "air_1_5",
+}
+
+
+def _family_batch(cfg, family: str, batch_size: int, seq_len: int):
+    """Schema-exact synthetic batch at the family's real geometry."""
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    if family in ("deepseek_vl", "llava", "hpt"):
+        from flmm_tpu.data.synthetic import synthetic_batch
+
+        return synthetic_batch(cfg, batch_size=batch_size, seq_len=seq_len,
+                               max_masks=8, text_tokens_per_mask=12)
+    from flmm_tpu.data.collate import BatchSpec
+    from flmm_tpu.data.processors import ProcessorConfig
+    from flmm_tpu.data.synthetic import synthetic_samples
+    from flmm_tpu.registry import get_batch_builder, get_coarse_hw
+
+    if family == "mgm":
+        build = get_batch_builder(
+            "mgm", crop_size=base.vision.image_size,
+            aux_size=cfg.aux.image_size, image_grid=cfg.image_grid,
+            image_global=cfg.image_global)
+    else:  # llava_next: anyres tiles (~5x image tokens)
+        a = cfg.anyres_spec()
+        build = get_batch_builder(
+            "llava_next", tile_size=a.tile_size, patch_size=a.patch_size,
+            pinpoints=a.pinpoints)
+    samples = synthetic_samples(cfg, batch_size, seed=0, max_masks=8,
+                                caption_tokens=12)
+    spec = BatchSpec(
+        seq_len=max(seq_len, max(len(s["input_ids"]) for s in samples) + 8),
+        max_masks=8, text_per_mask=12, coarse_hw=get_coarse_hw(cfg),
+        sam_size=base.sam.encoder.img_size,
+        prompt_size=base.sam.prompt_size,
+        processor=ProcessorConfig(size=base.input_size))
+    b = build(samples, spec)
+    b.pop("infos", None)
+    return b
+
 
 def build(batch_size: int):
-    import os
-
-    from flmm_tpu.configs.deepseek_vl import deepseek_vl_1_3b
-    from flmm_tpu.data.synthetic import synthetic_batch
-    from flmm_tpu.models.frozen import deepseek_vl as model
+    family = os.environ.get("BENCH_FAMILY", "deepseek_vl")
+    preset = os.environ.get("BENCH_PRESET", FLAGSHIP[family])
+    from flmm_tpu.registry import get_config, get_model, with_sam_size
 
     # S=672 with the raw prompt layout (img_start=5): measured faster on
     # v5e than the 128-aligned flash-capture layout at this length (the
     # capture kernel only wins at anyres scale; see configs/deepseek_vl).
     # BENCH_SAM_SIZE (default 1024 = reference-exact) selects the SAM
     # reduced-resolution schedule for speed/accuracy-tradeoff measurement.
-    cfg = deepseek_vl_1_3b(
-        sam_img_size=int(os.environ.get("BENCH_SAM_SIZE", "1024")))
+    sam_size = int(os.environ.get("BENCH_SAM_SIZE", "1024"))
+    cfg = get_config(family, preset)
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    if sam_size != base.sam.encoder.img_size:
+        cfg = with_sam_size(cfg, sam_size)
     if os.environ.get("BENCH_GLOBAL_BLOCK") == "1":
         # A/B knob for the whole-block global-layer kernel experiment
         # (ops/global_block.py; see SamEncoderConfig.global_block_fused)
         import dataclasses
-        cfg = dataclasses.replace(cfg, sam=dataclasses.replace(
-            cfg.sam, encoder=dataclasses.replace(
-                cfg.sam.encoder, global_block_fused=True)))
+
+        base = cfg.base if hasattr(cfg, "base") else cfg
+        new_base = dataclasses.replace(base, sam=dataclasses.replace(
+            base.sam, encoder=dataclasses.replace(
+                base.sam.encoder, global_block_fused=True)))
+        cfg = (dataclasses.replace(cfg, base=new_base)
+               if hasattr(cfg, "base") else new_base)
+    model = get_model(family)
     params = model.init_params(cfg, jax.random.key(0))
+    seq_len = int(os.environ.get("BENCH_SEQ", "672"))
     batch = jax.tree.map(
-        jnp.asarray,
-        synthetic_batch(cfg, batch_size=batch_size, seq_len=672, max_masks=8,
-                        text_tokens_per_mask=12),
-    )
+        jnp.asarray, _family_batch(cfg, family, batch_size, seq_len))
 
     @jax.jit
     def predict(params, batch, chain):
@@ -57,7 +116,8 @@ def build(batch_size: int):
         # throughput pattern (per-iteration fetches would bill the
         # ~34 ms relay RTT floor to every batch).
         b = dict(batch)
-        b["pixel_values"] = batch["pixel_values"] + 1e-12 * chain
+        px_key = "pixel_values" if "pixel_values" in batch else "tiles"
+        b[px_key] = batch[px_key] + 1e-12 * chain
         out = model.forward(params, cfg, b)
         # tiny checksum output: forces real execution on relay backends
         # whose block_until_ready can return before compute finishes
@@ -66,17 +126,19 @@ def build(batch_size: int):
     return predict, params, batch
 
 
-def run(batch_size: int, iters: int = 6) -> float:
+def run(batch_size: int, iters: int | None = None) -> float:
     import numpy as np
 
+    iters = iters or int(os.environ.get("BENCH_ITERS", "6"))
     predict, params, batch = build(batch_size)
     # Distinct inputs per iteration: identical dispatches can be memoised by
     # remote-relay backends, which would fake the timing.  (The chained
     # checksum also perturbs them, but keep an explicit offset too.)
+    px_key = "pixel_values" if "pixel_values" in batch else "tiles"
     batches = []
     for i in range(iters + 2):
         b = dict(batch)
-        b["pixel_values"] = batch["pixel_values"] + 0.001 * (i + 1)
+        b[px_key] = batch[px_key] + 0.001 * (i + 1)
         batches.append(b)
     # warmup + compile; fetch the checksum to ensure completion
     chain = jnp.float32(0.0)
@@ -94,8 +156,6 @@ def run(batch_size: int, iters: int = 6) -> float:
 
 
 def main():
-    import os
-
     target = 20.0  # images/sec/chip (BASELINE.json)
     last_err = None
     # bs 4 is the measured-best serving point on v5e at SAM-1024 (18.4
