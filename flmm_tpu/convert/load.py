@@ -70,13 +70,22 @@ def submodule(sd: Mapping[str, Any], *candidates: str) -> dict:
 
 
 def llm_with_head(sd: Mapping[str, Any], *candidates: str) -> dict:
-    """LLM submodule with the (top-level) lm_head re-attached, laid out for
-    ``llama_decoder_params(prefix='')``."""
+    """LLM submodule with the lm_head re-attached, laid out for
+    ``llama_decoder_params(prefix='')``.
+
+    The head lives at different depths across layouts: top-level
+    ``lm_head.weight`` (transformers >= 4.52 llava), sibling of the
+    stripped prefix (released llava-hf: ``language_model.lm_head.weight``
+    next to ``language_model.model.*``), or inside the stripped submodule
+    already (deepseek's ``language_model.`` strip keeps it) -- search all
+    of them."""
     sub = submodule(sd, *candidates)
     sub = {k: v for k, v in sub.items()}
-    for k in ("lm_head.weight",):
-        if k in sd and k not in sub:
-            sub[k] = sd[k]
+    if "lm_head.weight" not in sub:
+        for k in sd:
+            if k.endswith("lm_head.weight"):
+                sub["lm_head.weight"] = sd[k]
+                break
     return sub
 
 
