@@ -286,6 +286,10 @@ def _block(x: jnp.ndarray, bp: dict, cfg: SamEncoderConfig, windowed: bool):
              (cfg.flash_global and x.shape[1] == x.shape[2]
               and ((x.shape[1] * x.shape[2]) % 128 == 0
                    or cfg.global_kernel == "v8")))  # v8 pads + masks
+    # flash_* means "use the Pallas kernels on TPU" -- on other backends
+    # (full-dims CPU parity runs) fall back to the identical XLA path,
+    # like the whole-block gate below (forward:438)
+    flash = flash and jax.default_backend() == "tpu"
     if flash:
         B, H, W, C = x.shape
         # fused kernels need plain (non-int8) weights and tiling shapes
