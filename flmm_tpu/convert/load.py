@@ -42,7 +42,11 @@ def load_state_dict(path: str | pathlib.Path) -> dict:
         for f in st_files:
             sd.update(load_file(f))
         return sd
-    bins = sorted(path.glob("pytorch_model*.bin"))
+    # HF shards are pytorch_model*.bin; open_clip releases ship ONE
+    # open_clip_pytorch_model.bin (reference openclip_encoder.py:29) --
+    # fall back to any *.bin so the MGM aux-tower dir loads as released.
+    bins = sorted(path.glob("pytorch_model*.bin")) or sorted(
+        path.glob("*.bin"))
     if not bins:
         raise FileNotFoundError(f"no weights found under {path}")
     import torch

@@ -123,3 +123,44 @@ def test_mgm_tiny_e2e(hd):
     params = model.init_params(cfg, jax.random.key(0))
     loss, metrics = model.loss_fn(params, cfg, mb)
     assert np.isfinite(float(loss))
+
+
+def test_open_clip_bin_filename_loads(tmp_path):
+    """The released ConvNeXt aux checkpoint is ONE file named
+    open_clip_pytorch_model.bin (reference openclip_encoder.py:29) --
+    NOT the HF pytorch_model*.bin pattern; the loader must fall back to
+    *.bin (round-4 converter-parity finding)."""
+    import torch
+
+    from flmm_tpu.convert import load as load_mod
+    from flmm_tpu.models.vision.convnext import ConvNeXtConfig
+
+    cfg = ConvNeXtConfig(depths=(1, 1, 1, 1), dims=(4, 8, 16, 32),
+                         image_size=64, dtype=jnp.float32)
+    sd = {}
+    torch.manual_seed(0)
+    sd["visual.trunk.stem.0.weight"] = torch.randn(4, 3, 4, 4)
+    sd["visual.trunk.stem.0.bias"] = torch.randn(4)
+    sd["visual.trunk.stem.1.weight"] = torch.randn(4)
+    sd["visual.trunk.stem.1.bias"] = torch.randn(4)
+    for s, dim in enumerate(cfg.dims):
+        if s > 0:
+            prev = cfg.dims[s - 1]
+            sd[f"visual.trunk.stages.{s}.downsample.0.weight"] = torch.randn(prev)
+            sd[f"visual.trunk.stages.{s}.downsample.0.bias"] = torch.randn(prev)
+            sd[f"visual.trunk.stages.{s}.downsample.1.weight"] = torch.randn(dim, prev, 2, 2)
+            sd[f"visual.trunk.stages.{s}.downsample.1.bias"] = torch.randn(dim)
+        base = f"visual.trunk.stages.{s}.blocks.0."
+        sd[base + "conv_dw.weight"] = torch.randn(dim, 1, 7, 7)
+        sd[base + "conv_dw.bias"] = torch.randn(dim)
+        sd[base + "norm.weight"] = torch.randn(dim)
+        sd[base + "norm.bias"] = torch.randn(dim)
+        sd[base + "mlp.fc1.weight"] = torch.randn(4 * dim, dim)
+        sd[base + "mlp.fc1.bias"] = torch.randn(4 * dim)
+        sd[base + "mlp.fc2.weight"] = torch.randn(dim, 4 * dim)
+        sd[base + "mlp.fc2.bias"] = torch.randn(dim)
+        sd[base + "gamma"] = torch.randn(dim)
+    torch.save(sd, tmp_path / "open_clip_pytorch_model.bin")
+    loaded = load_mod.load_state_dict(tmp_path)
+    params = load_mod.convnext_params(loaded, cfg)
+    assert params["stem_k"].shape == (4, 4, 3, 4)
