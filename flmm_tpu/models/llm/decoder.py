@@ -29,6 +29,7 @@ Weights are stored stacked over layers: scan compiles the layer body once.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import jax
@@ -89,6 +90,15 @@ def init_params(cfg: DecoderConfig, key: jax.Array) -> Params:
         return jnp.zeros(shape, cfg.dtype) if cfg.gemma_norm else jnp.ones(shape, cfg.dtype)
 
     def w(key, shape, fan_in):
+        if math.prod(shape) > 2**28 and len(shape) > 2:
+            # 7B-class stacked tensors: a whole-tensor f32 transient is
+            # multi-GB (w_gate at 7B: 5.6 GB) and OOMs a 16 GB chip
+            # before the bf16 cast; lax.map bounds the transient to one
+            # layer slice while still emitting one fused XLA op.
+            keys = jax.random.split(key, shape[0])
+            return jax.lax.map(
+                lambda k: (jax.random.normal(k, shape[1:], jnp.float32)
+                           / jnp.sqrt(fan_in)).astype(cfg.dtype), keys)
         return (jax.random.normal(key, shape, jnp.float32) / jnp.sqrt(fan_in)).astype(
             cfg.dtype
         )

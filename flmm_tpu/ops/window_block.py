@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -242,9 +243,17 @@ def window_block(
     assert bias.shape == (NW, nh, T, 2 * side), bias.shape
     kp = ((hd + 2 * side + 127) // 128) * 128
     F = w1.shape[1]
+    # experiment knobs for scripts/kernel_bench.py sweeps (trace-time)
+    env_nf = os.environ.get("WB_NF")
+    if env_nf:
+        n_f = int(env_nf)
     assert F % n_f == 0, (F, n_f)
     if group is None:
-        group = next((g for g in (4, 2) if NW % g == 0), 1)
+        env_g = os.environ.get("WB_GROUP")
+        # group=10 measured best in situ at the SAM-1024 geometry
+        # (6.93 vs 7.03 ms/layer for group=4; 25/100 flat at 6.94/6.99)
+        group = (int(env_g) if env_g
+                 else next((g for g in (10, 4, 2) if NW % g == 0), 1))
     assert NW % group == 0, (NW, group)
     masked = valid is not None
     if not masked:  # uniform dummy so the spec list is static
