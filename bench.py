@@ -63,11 +63,19 @@ def _family_batch(cfg, family: str, batch_size: int, seq_len: int):
             pinpoints=a.pinpoints)
     samples = synthetic_samples(cfg, batch_size, seed=0, max_masks=8,
                                 caption_tokens=12)
+    S = max(seq_len, max(len(s["input_ids"]) for s in samples) + 8)
+    # the anyres preset routes the decoder through the flash-capture
+    # kernel (the eager S x S path OOMs at ~3k tokens): the kernel needs
+    # S % 128 == 0 and a 128-aligned image block (decoder.flash_capture_ok)
+    align = 128 if getattr(base.llm, "use_flash_capture", False) else None
+    if align:
+        S = -(-S // align) * align
     spec = BatchSpec(
-        seq_len=max(seq_len, max(len(s["input_ids"]) for s in samples) + 8),
+        seq_len=S,
         max_masks=8, text_per_mask=12, coarse_hw=get_coarse_hw(cfg),
         sam_size=base.sam.encoder.img_size,
         prompt_size=base.sam.prompt_size,
+        align_image_block=align, expected_img_start=base.img_start,
         processor=ProcessorConfig(size=base.input_size))
     b = build(samples, spec)
     b.pop("infos", None)
@@ -87,6 +95,15 @@ def build(batch_size: int):
     sam_size = int(os.environ.get("BENCH_SAM_SIZE", "1024"))
     cfg = get_config(family, preset)
     base = cfg.base if hasattr(cfg, "base") else cfg
+    # flash-capture presets (anyres) need a 128-aligned image block: carry
+    # the aligned offset in the config exactly like resolve_family_setup
+    # does for the real tokenizer path, so model slice == data layout.
+    if ((getattr(base.llm, "use_flash_capture", False)
+         or base.num_img_tokens >= 1024)
+            and base.img_start % 128):
+        cfg = get_config(family, preset,
+                         img_start=-(-base.img_start // 128) * 128)
+        base = cfg.base if hasattr(cfg, "base") else cfg
     if sam_size != base.sam.encoder.img_size:
         cfg = with_sam_size(cfg, sam_size)
     if os.environ.get("BENCH_GLOBAL_BLOCK") == "1":
@@ -102,6 +119,10 @@ def build(batch_size: int):
                if hasattr(cfg, "base") else new_base)
     model = get_model(family)
     params = model.init_params(cfg, jax.random.key(0))
+    # the grounding forward never projects to vocab: drop the lm_head
+    # (262 MB bf16 at 7B) so it does not occupy HBM in the serving graph
+    if isinstance(params.get("frozen", {}).get("llm"), dict):
+        params["frozen"]["llm"].pop("lm_head", None)
     seq_len = int(os.environ.get("BENCH_SEQ", "672"))
     batch = jax.tree.map(
         jnp.asarray, _family_batch(cfg, family, batch_size, seq_len))

@@ -31,8 +31,18 @@ def gemma_2b(dtype=jnp.bfloat16) -> DecoderConfig:
 
 def _mgm(llm: DecoderConfig, dtype, image_grid: int, image_global: bool,
          aux_size: int, img_start: int) -> MGMConfig:
+    import dataclasses
+
     n_crops = image_grid ** 2 + (1 if image_global else 0)
     chan_mult = 2 if (image_grid > 1 and image_global) else 1
+    # HD packs n_crops*576 image tokens: route the decoder through the
+    # flash-capture kernel when the image block is 128-aligned (same
+    # contract as configs/deepseek_vl; the eager S x S capture is
+    # prohibitive at ~3k tokens).  Short single-crop presets keep the
+    # measured-faster unpadded eager layout.
+    if n_crops > 1:
+        llm = dataclasses.replace(
+            llm, use_flash_capture=img_start % 128 == 0)
     base = GroundingConfig(
         llm=llm, vision=clip_vit_l_336(dtype),
         unet=UNetConfig(

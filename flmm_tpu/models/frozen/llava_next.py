@@ -158,16 +158,21 @@ def assemble_frames(cfg: "LlavaNextConfig", attn: jnp.ndarray,
     ``torch.cat([coarse, fine], dim=1)``, frozen_llava_next.py:145).
     """
     gcfg = cfg.base
-    B, L_, H_, M, _ = attn.shape
+    B, L_, H_, M, n_max_ = attn.shape
     g = cfg.grid
     g2 = g * g
     fhm, fwm = cfg.max_fine_hw
-    coarse_maps = attn[..., :g2].reshape(B, L_, H_, M, g, g)
+    # Gather on the (B, L*H*M, n) flattening: a 5-D take_along_axis puts
+    # the small (H, M) axes minor-most and XLA pads them to the (8, 128)
+    # tile -- measured 4x HBM expansion (2.5 GB at the 7B anyres
+    # geometry).  The flat layout tiles (L*H*M, n) with no padding.
+    flat = attn.reshape(B, L_ * H_ * M, n_max_)
+    coarse_maps = flat[..., :g2].reshape(B, L_ * H_ * M, g, g)
     fine = jnp.take_along_axis(
-        attn, batch["fine_gather"][:, None, None, None, :], axis=-1
+        flat, batch["fine_gather"][:, None, :], axis=-1
     )
-    fine = fine * batch["fine_valid"][:, None, None, None, :]
-    fine_maps = fine.reshape(B, L_, H_, M, fhm, fwm)
+    fine = fine * batch["fine_valid"][:, None, :]
+    fine_maps = fine.reshape(B, L_ * H_ * M, fhm, fwm)
 
     Hc, Wc = cfg.coarse_frame
     geom = batch["geom"]
@@ -189,8 +194,8 @@ def assemble_frames(cfg: "LlavaNextConfig", attn: jnp.ndarray,
         )
 
     def per_sample(b):
-        cm = coarse_maps[b].reshape(L_ * H_ * M, g, g)
-        fm = fine_maps[b].reshape(L_ * H_ * M, fhm, fwm)
+        cm = coarse_maps[b]
+        fm = fine_maps[b]
         fh = batch["fine_hw"][b, 0]
         fw = batch["fine_hw"][b, 1]
         cframe = to_frame(cm, float(g), float(g), b)

@@ -104,6 +104,20 @@ def test_resolve_family_setup_deepseek_aligns_128():
     assert sk2["align_image_block"] is None
 
 
+def test_mgm_hd_flash_capture_gate():
+    """MGM-HD (5x576 image tokens) routes through the flash-capture
+    kernel iff the image block is 128-aligned (same contract as
+    configs/deepseek_vl); single-crop presets keep the eager layout."""
+    from flmm_tpu.registry import get_config
+
+    hd = get_config("mgm", "vicuna_7b_hd", img_start=128)
+    assert hd.base.llm.use_flash_capture
+    hd_raw = get_config("mgm", "vicuna_7b_hd")  # released offset 35
+    assert not hd_raw.base.llm.use_flash_capture
+    single = get_config("mgm", "gemma_2b", img_start=128)
+    assert not single.base.llm.use_flash_capture
+
+
 def _mini_sample(rp, n_extra=6):
     ids = list(rp.ids) + [50] * n_extra
     mask_ids = [-1] * len(rp.ids) + [0] * n_extra
