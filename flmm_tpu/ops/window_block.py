@@ -135,7 +135,7 @@ def _block_kernel(x_ref, bias_ref, valid_ref, ln1w_ref, ln1b_ref,
                   wqkv_ref, bqkv_ref, wo_ref, bo_ref, ln2w_ref, ln2b_ref,
                   w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
                   side: int, nh: int, hd: int, eps: float, n_f: int,
-                  kp: int, group: int, masked: bool):
+                  kp: int, group: int, masked: bool, bias_padded: bool):
     """``group`` windows per grid step, whole block per window."""
     T = side * side
     C = nh * hd
@@ -161,8 +161,18 @@ def _block_kernel(x_ref, bias_ref, valid_ref, ln1w_ref, ln1b_ref,
         qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(dt)
 
         def score(h):
-            a = jnp.concatenate(
-                [qkv[:, h * hd:(h + 1) * hd], bias_ref[w, h], zpad], axis=1)
+            if bias_padded:
+                # bias rows arrive lane-aligned at kp with q's lanes
+                # zeroed: one aligned concat + VPU add replaces the
+                # 3-way concat (the HBM rows are contiguous 2*kp bytes
+                # instead of strided 2*(2*side))
+                a = jnp.concatenate(
+                    [qkv[:, h * hd:(h + 1) * hd],
+                     jnp.zeros((T, kp - hd), dt)], axis=1) + bias_ref[w, h]
+            else:
+                a = jnp.concatenate(
+                    [qkv[:, h * hd:(h + 1) * hd], bias_ref[w, h], zpad],
+                    axis=1)
             b = jnp.concatenate(
                 [qkv[:, C + h * hd:C + (h + 1) * hd], sel, zpad], axis=1)
             return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
@@ -219,6 +229,7 @@ def window_block(
     side: int, num_heads: int,
     eps: float = 1e-6, n_f: int = 4, group: int | None = None,
     interpret: bool | None = None, vmem_mb: int = 64,
+    bias_padded: bool | None = None,
 ) -> jnp.ndarray:
     """One whole window block (LN1+qkv+attention+proj+LN2+MLP, both
     residuals) over window-major tokens; weights resident, qkv never in
@@ -255,6 +266,17 @@ def window_block(
         group = (int(env_g) if env_g
                  else next((g for g in (10, 4, 2) if NW % g == 0), 1))
     assert NW % group == 0, (NW, group)
+    if bias_padded is None:
+        bias_padded = os.environ.get("WB_BIAS_PAD", "0") == "1"
+    if bias_padded:
+        # lane-align the thin bias rows in XLA (fused into the producing
+        # einsum's epilogue): (NW, nh, T, 2*side) -> (NW, nh, T, kp) with
+        # the bias at lanes [hd, hd+2*side) and zeros elsewhere, so the
+        # kernel's DMA rows are contiguous kp-lane tiles instead of
+        # 2*side-element strided slivers
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
+                              (hd, kp - hd - 2 * side)))
+    bias_lanes = kp if bias_padded else 2 * side
     masked = valid is not None
     if not masked:  # uniform dummy so the spec list is static
         valid = jnp.ones((NW, 1, T), jnp.int8)
@@ -265,13 +287,14 @@ def window_block(
 
     kernel = functools.partial(
         _block_kernel, side=side, nh=nh, hd=hd, eps=eps, n_f=n_f, kp=kp,
-        group=group, masked=masked)
+        group=group, masked=masked, bias_padded=bias_padded)
     return pl.pallas_call(
         kernel,
         grid=(NW // group,),
         in_specs=[
             pl.BlockSpec((group, T, C), lambda g: (g, 0, 0)),
-            pl.BlockSpec((group, nh, T, 2 * side), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((group, nh, T, bias_lanes),
+                         lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((group, 1, T), lambda g: (g, 0, 0)),
             pl.BlockSpec((1, C), lambda g: (0, 0)),
             pl.BlockSpec((1, C), lambda g: (0, 0)),

@@ -84,7 +84,7 @@ def main():
     loader = PrefetchLoader(
         sample_fn, lambda xs: xs[0], EpochSampler(args.steps + 1, seed=0),
         batch_size=1, num_workers=args.workers, prefetch=2)
-    it = iter(loader)
+    it = loader.epoch(0)
     state, m = step(state, frozen, jax.tree.map(jnp.asarray, next(it)))
     float(np.asarray(m["loss"]))
     t0 = time.perf_counter()

@@ -46,7 +46,11 @@ def _ref_tail(x, qkv_std, bias_hw_raw, wo, bo, ln2w, ln2b, w1, b1, w2, b2,
     return xr + _gelu(y @ w1 + b1) @ w2 + b2
 
 
-def test_window_block_tail_parity_interpret():
+import pytest
+
+
+@pytest.mark.parametrize("bias_padded", [False, True])
+def test_window_block_tail_parity_interpret(bias_padded):
     rng = np.random.default_rng(0)
     side, nh, hd = 7, 4, 16
     T, C, F = side * side, 4 * 16, 128
@@ -89,13 +93,10 @@ def test_window_block_tail_parity_interpret():
         w_s, b_s, jnp.asarray(wo),
         jnp.asarray(bo), jnp.asarray(ln2w), jnp.asarray(ln2b),
         jnp.asarray(w1), jnp.asarray(b1), jnp.asarray(w2), jnp.asarray(b2),
-        side, nh, n_f=2, group=1, interpret=True)
+        side, nh, n_f=2, group=1, interpret=True, bias_padded=bias_padded)
     np.testing.assert_allclose(np.asarray(got), want, atol=3e-3, rtol=1e-3)
     corr = np.corrcoef(np.asarray(got).ravel(), want.ravel())[0, 1]
     assert corr > 0.99999
-
-
-import pytest
 
 
 @pytest.mark.parametrize("img_size", [64, 112])
