@@ -106,15 +106,22 @@ def build(batch_size: int):
         base = cfg.base if hasattr(cfg, "base") else cfg
     if sam_size != base.sam.encoder.img_size:
         cfg = with_sam_size(cfg, sam_size)
+    enc_over = {}
     if os.environ.get("BENCH_GLOBAL_BLOCK") == "1":
         # A/B knob for the whole-block global-layer kernel experiment
         # (ops/global_block.py; see SamEncoderConfig.global_block_fused)
+        enc_over["global_block_fused"] = True
+    if os.environ.get("BENCH_GLOBAL_KERNEL"):
+        # A/B knob for global-attention kernel variants (v8 production,
+        # v11 no-max experiment in ops/sam_flash_experiments.py)
+        enc_over["global_kernel"] = os.environ["BENCH_GLOBAL_KERNEL"]
+    if enc_over:
         import dataclasses
 
         base = cfg.base if hasattr(cfg, "base") else cfg
         new_base = dataclasses.replace(base, sam=dataclasses.replace(
             base.sam, encoder=dataclasses.replace(
-                base.sam.encoder, global_block_fused=True)))
+                base.sam.encoder, **enc_over)))
         cfg = (dataclasses.replace(cfg, base=new_base)
                if hasattr(cfg, "base") else new_base)
     model = get_model(family)

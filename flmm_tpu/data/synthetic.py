@@ -158,6 +158,7 @@ def synthetic_grounding_batch(
     batch_size: int = 4,
     seed: int = 0,
     image_token_id: int = 5,
+    orig_masks: bool = False,
 ) -> dict:
     """A DERIVABLE grounding task: two colored rectangles per image whose
     masks are a deterministic function of the pixels, with one caption
@@ -207,6 +208,12 @@ def synthetic_grounding_batch(
         np.float32)
     gt_coarse = np.zeros((B, M, Hc, Wc), np.float32)
     gt_sam = np.zeros((B, M, P, P), np.float32)
+    # original-resolution (256^2) GT rectangles: the torch-twin race
+    # (scripts/torch_twin_race.py) trains the reference transcription at
+    # the reference's own loss resolution (frozen_llava.py:183-188
+    # interpolates GT to each head's prediction size)
+    gt_orig = (np.zeros((B, M, 256, 256), np.float32)
+               if orig_masks else None)
     metas, sam_hws = [], []
     for b in range(B):
         meta = geometry.lmm_meta(256, 256, lmm_size)
@@ -227,6 +234,9 @@ def synthetic_grounding_batch(
                       int(x0 * Wc):int((x0 + w) * Wc)] = 1.0
             gt_sam[b, m, int(y0 * P):int((y0 + h) * P),
                    int(x0 * P):int((x0 + w) * P)] = 1.0
+            if gt_orig is not None:
+                gt_orig[b, m, int(y0 * 256):int((y0 + h) * 256),
+                        int(x0 * 256):int((x0 + w) * 256)] = 1.0
 
     cw = np.stack([geometry.coarse_weight(m, (Hc, Wc)) for m in metas])
     sw = np.stack([geometry.sam_weight(hw, frame=P, long_side=sam_size)
@@ -249,4 +259,5 @@ def synthetic_grounding_batch(
         "coarse_weight": cw,
         "gt_sam": gt_sam * sw[:, None],
         "sam_weight": sw,
+        **({"gt_orig": gt_orig} if gt_orig is not None else {}),
     }

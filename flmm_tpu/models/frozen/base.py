@@ -31,9 +31,14 @@ def grounding_losses(
 ) -> dict:
     """BCE + naive-dice for both heads plus accuracy/aIoU metrics.
 
-    Mirrors reference frozen_llava.py:71-85,167-217: per-pixel BCE with
-    avg_factor = (valid) pixel count, dice averaged over masks; sample terms
-    weighted by mask count == flat averaging over all valid masks.
+    Mirrors reference frozen_llava.py:71-85,167-217 EXACTLY: the BCE and
+    accuracy terms are PER-SAMPLE pixel means (avg_factor = that sample's
+    valid pixel count) weighted by the sample's mask count and normalised
+    by the total mask count -- when samples unpad to different valid
+    sizes this is NOT the same as flat averaging over all valid pixels
+    (each sample's pixels carry weight ``m_s / (h_s * w_s)``).  Dice and
+    aIoU are per-mask normalised, so mask-count weighting reduces to flat
+    averaging over valid masks (pinned by tests/test_grad_parity.py).
 
     Args:
       coarse_logits: ``(B, M, Hc, Wc)``; gt_coarse likewise (binary).
@@ -45,17 +50,36 @@ def grounding_losses(
     B, M = mask_valid.shape
     mv = mask_valid.astype(jnp.float32)
 
+    m_s = mv.sum(1)                                   # (B,) mask counts
+    m_norm = jnp.maximum(m_s.sum(), 1.0)
+
+    def per_sample_mean(per, w):
+        """(B, M, H, W) elementwise terms -> reference scalar: per-sample
+        weighted pixel mean, weighted by mask count / total mask count."""
+        num = (per * w).sum(axis=(1, 2, 3))
+        den = jnp.maximum(w.sum(axis=(1, 2, 3)), 1.0)
+        return ((num / den) * m_s).sum() / m_norm
+
     def head(logits, gt, pix_w):
-        w = pix_w[:, None] * mv[:, :, None, None]
+        w = jnp.broadcast_to(
+            pix_w[:, None] * mv[:, :, None, None], logits.shape
+        ).astype(jnp.float32)
         flat_logits = logits.reshape(B * M, -1)
         flat_gt = gt.reshape(B * M, -1)
-        flat_w = jnp.broadcast_to(w, logits.shape).reshape(B * M, -1)
+        flat_w = w.reshape(B * M, -1)
+        lf = logits.astype(jnp.float32)
+        gf = gt.astype(jnp.float32)
+        bce = (jnp.maximum(lf, 0.0) - lf * gf
+               + jnp.log1p(jnp.exp(-jnp.abs(lf))))
+        acc = (
+            (jax.nn.sigmoid(lf) > 0.5).astype(jnp.float32) == gf
+        ).astype(jnp.float32)
         return {
-            "loss_mask": L.sigmoid_bce(flat_logits, flat_gt, flat_w),
+            "loss_mask": per_sample_mean(bce, w),
             "loss_dice": L.naive_dice(
                 flat_logits, flat_gt, flat_w, mask_valid.reshape(-1)
             ),
-            "accuracy": L.mask_accuracy(flat_logits, flat_gt, flat_w),
+            "accuracy": per_sample_mean(acc, w),
             "aiou": (
                 L.mask_iou(
                     (jax.nn.sigmoid(flat_logits) > 0.5).astype(jnp.float32)

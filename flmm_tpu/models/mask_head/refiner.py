@@ -107,7 +107,10 @@ def refine(
     roi_min = jnp.min(
         jnp.where(in_roi, coarse_logits, jnp.inf), axis=(1, 2)
     )
-    pad_value = jnp.minimum(-1.0, jnp.min(roi_min))
+    # reference mask_refiner.py:62 reads the min via .item() -- a detached
+    # host constant -- so no gradient may flow into the coarse logits
+    # through the pad value
+    pad_value = jax.lax.stop_gradient(jnp.minimum(-1.0, jnp.min(roi_min)))
     ratio = img_size / P  # SAM frame pixels per prompt pixel
     scale = jnp.stack([ratio * ch / nh, ratio * cw / nw])
     prompt_masks = affine_grid_sample(

@@ -128,8 +128,10 @@ def forward(params: dict, cfg: UNetConfig, x: jnp.ndarray) -> jnp.ndarray:
     if cfg.upsample_input is not None:
         scale = max(1.0, cfg.upsample_input / max(h, w))
         h, w = int(h * scale), int(w * scale)
+        # scale_factor coordinate convention (reference mask_decoder.py:49)
         x = jnp.moveaxis(
-            resize_bilinear(jnp.moveaxis(x, -1, 1), (h, w)), 1, -1
+            resize_bilinear(jnp.moveaxis(x, -1, 1), (h, w),
+                            scale=(scale, scale)), 1, -1
         )
     div = 2 ** (cfg.num_stages - 1)
     ph = math.ceil(h / div) * div

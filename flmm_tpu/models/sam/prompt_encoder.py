@@ -62,9 +62,16 @@ def init_params(cfg: PromptEncoderConfig, key: jax.Array) -> dict:
 
 
 def _pe_encode(params: dict, coords01: jnp.ndarray) -> jnp.ndarray:
-    """Random-Fourier encoding of [0,1]-normalised coords ``(..., 2)``."""
+    """Random-Fourier encoding of [0,1]-normalised coords ``(..., 2)``.
+
+    ``pe_gaussian`` is a frozen BUFFER in the reference (PromptEncoder
+    registers it via register_buffer, prompt_encoder.py:181) -- it must
+    receive no gradient and no optimizer update even though it lives in
+    the trainable tree for checkpoint-layout convenience (the optimizer
+    additionally masks it out of AdamW weight decay; train/loop.py)."""
     coords = 2.0 * coords01.astype(jnp.float32) - 1.0
-    proj = coords @ params["pe_gaussian"].astype(jnp.float32)
+    proj = coords @ jax.lax.stop_gradient(
+        params["pe_gaussian"].astype(jnp.float32))
     proj = 2.0 * jnp.pi * proj
     return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
 

@@ -33,18 +33,52 @@ def resize_nearest_torch(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray
     return x
 
 
-def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+def resize_bilinear(
+    x: jnp.ndarray, out_hw: tuple[int, int],
+    scale: tuple[float, float] | None = None,
+) -> jnp.ndarray:
     """``F.interpolate(mode='bilinear', align_corners=False)`` over last 2 dims.
 
     Computed in float32 regardless of input dtype (the reference forces f32
     upsampling for bf16 safety -- mask_decoder.py:10-17), cast back on exit.
+
+    ``scale``: when given, reproduces torch's ``scale_factor=`` coordinate
+    convention ``src = (dst + 0.5) / scale - 0.5`` (the mapping uses the
+    GIVEN scale, not ``out/in``) -- these differ whenever
+    ``int(dim * scale) != dim * scale``, e.g. the U-Net input upsample of
+    non-square attention grids (reference mask_decoder.py:49 uses
+    ``F.interpolate(scale_factor=...)``; pinned by
+    tests/test_grad_parity.py::test_unet_grad_parity_vs_torch).
     """
     dtype = x.dtype
-    out_shape = x.shape[:-2] + tuple(out_hw)
-    y = jax.image.resize(
-        x.astype(jnp.float32), out_shape, method="bilinear", antialias=False
-    )
+    if scale is None:
+        out_shape = x.shape[:-2] + tuple(out_hw)
+        y = jax.image.resize(
+            x.astype(jnp.float32), out_shape, method="bilinear",
+            antialias=False
+        )
+        return y.astype(dtype)
+    y = x.astype(jnp.float32)
+    y = _linear_1d(y, out_hw[0], axis=y.ndim - 2, scale=scale[0])
+    y = _linear_1d(y, out_hw[1], axis=y.ndim - 1, scale=scale[1])
     return y.astype(dtype)
+
+
+def _linear_1d(x: jnp.ndarray, out_size: int, axis: int,
+               scale: float) -> jnp.ndarray:
+    """1-D linear resample with the torch scale_factor coordinate map."""
+    n = x.shape[axis]
+    pos = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / scale - 0.5
+    i0 = jnp.floor(pos)
+    t = jnp.clip(pos - i0, 0.0, 1.0)
+    taps = jnp.stack([i0, i0 + 1.0], axis=-1)
+    taps = jnp.clip(taps, 0, n - 1).astype(jnp.int32)  # (out, 2)
+    g = jnp.take(x, taps.reshape(-1), axis=axis)
+    g = jnp.moveaxis(g, axis, -1)
+    g = g.reshape(g.shape[:-1] + (out_size, 2))
+    w = jnp.stack([1.0 - t, t], axis=-1)
+    y = (g * w).sum(-1)
+    return jnp.moveaxis(y, -1, axis)
 
 
 def _cubic_weights(t: jnp.ndarray, a: float = -0.75) -> jnp.ndarray:

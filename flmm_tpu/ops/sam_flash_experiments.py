@@ -1245,3 +1245,77 @@ def qkv_head_major_perm(nh: int, hd: int) -> "jnp.ndarray":
         for t in range(3):
             idx.extend(range(t * C + h * hd, t * C + (h + 1) * hd))
     return jnp.asarray(idx, jnp.int32)
+
+
+def _global_kernel_v11(a_ref, b_ref, v_ref, o_ref, *, chunks: int,
+                       valid: int):
+    """v8 WITHOUT the running-max subtraction: with the full key range in
+    one score matrix the max pass is overflow protection only, not a
+    correctness requirement.  Scores are f32 in the log2 domain; exp2
+    overflows at 128, i.e. the scheme is exact whenever every attention
+    logit stays below ~88.7 nats (LN-bounded SAM activations measure
+    |logit| < 40).  Saves one full VPU reduce + subtract pass over the
+    S^2 scores."""
+    a = a_ref[0]
+    b = b_ref[0]
+    vv = v_ref[0]
+    n = a.shape[0] // chunks
+    Sp = b.shape[1]
+    col_ok = (jax.lax.broadcasted_iota(jnp.int32, (n, Sp), 1) < valid
+              if valid < Sp else None)
+
+    def score(i):
+        return jnp.dot(a[i * n:(i + 1) * n], b,
+                       preferred_element_type=jnp.float32)
+
+    s_next = score(0)
+    outs = []
+    for i in range(chunks):
+        s = s_next
+        if i + 1 < chunks:
+            s_next = score(i + 1)
+        if col_ok is not None:
+            s = jnp.where(col_ok, s, -1e30)
+        p = jnp.exp2(s)
+        l = p.sum(axis=1, keepdims=True)
+        o = jnp.dot(p.astype(vv.dtype), vv,
+                    preferred_element_type=jnp.float32)
+        outs.append((o / jnp.maximum(l, 1e-30)).astype(o_ref.dtype))
+    o_ref[0] = jnp.concatenate(outs, axis=0)
+
+
+def sam_global_attention_v11(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+    rel_pos_h: jnp.ndarray, rel_pos_w: jnp.ndarray,
+    side: int, interpret: bool = False, block_q: int = 512,
+    chunks: int = 8,
+) -> jnp.ndarray:
+    """v8 minus the softmax max pass (see :func:`_global_kernel_v11`).
+    EXPERIMENT: requires attention logits < ~88 nats; production keeps
+    v8 unless the measured win justifies the boundedness contract."""
+    from flmm_tpu.ops import sam_flash as sf
+
+    G, S, hd = q.shape
+    assert S == side * side
+    Sp = ((S + 127) // 128) * 128
+    a, b, kp = sf._global_augmented_operands(
+        q, k, v, rel_pos_h, rel_pos_w, side, log2_domain=True)
+    if Sp != S:
+        a = jnp.pad(a, ((0, 0), (0, Sp - S), (0, 0)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, Sp - S)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0)))
+    block_q, chunks = sf._pick_block_q(Sp, block_q, chunks)
+    kernel = functools.partial(_global_kernel_v11, chunks=chunks, valid=S)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G, Sp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, kp), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, kp, Sp), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, Sp, hd), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, Sp, hd), q.dtype),
+        interpret=interpret,
+    )(a, b, v)
+    return out[:, :S]

@@ -269,8 +269,10 @@ def window_block(
     if bias_padded is None:
         bias_padded = os.environ.get("WB_BIAS_PAD", "0") == "1"
     if bias_padded:
-        # lane-align the thin bias rows in XLA (fused into the producing
-        # einsum's epilogue): (NW, nh, T, 2*side) -> (NW, nh, T, kp) with
+        # lane-align the thin bias rows in XLA (the pad may or may not fuse
+        # into the producing einsum's epilogue -- if it does not, bias HBM
+        # traffic grows kp/(2*side)x; measure on-device before defaulting
+        # this on): (NW, nh, T, 2*side) -> (NW, nh, T, kp) with
         # the bias at lanes [hd, hd+2*side) and zeros elsewhere, so the
         # kernel's DMA rows are contiguous kp-lane tiles instead of
         # 2*side-element strided slivers

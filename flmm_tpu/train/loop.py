@@ -42,12 +42,33 @@ def make_schedule(cfg: OptimConfig) -> optax.Schedule:
     return optax.join_schedules([warmup, cosine], [warmup_steps])
 
 
+def _trainable_mask(params) -> Any:
+    """False for leaves that are frozen buffers in the reference: SAM's
+    ``pe_gaussian`` random-Fourier matrix is a register_buffer (reference
+    segment_anything prompt_encoder.py:181), so AdamW must neither update
+    nor weight-decay it (its gradient is already stopped at use;
+    models/sam/prompt_encoder._pe_encode)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: (
+            "freeze" if "pe_gaussian" in jax.tree_util.keystr(path)
+            else "train"
+        ),
+        params,
+    )
+
+
 def make_optimizer(cfg: OptimConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adamw(
-            make_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
-            weight_decay=cfg.weight_decay,
+        optax.multi_transform(
+            {
+                "train": optax.adamw(
+                    make_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
+                    weight_decay=cfg.weight_decay,
+                ),
+                "freeze": optax.set_to_zero(),
+            },
+            _trainable_mask,
         ),
     )
 

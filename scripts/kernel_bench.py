@@ -276,8 +276,23 @@ def bench_boundary(bs: int):
         return enc._dewindowize(xw + 0.0, geom, ws)
 
     ms = timeit(pair, x, iters=20)
-    print(json.dumps({"op": "boundary", "variant": "dewin+win pair",
+    print(json.dumps({"op": "boundary", "variant": "xla dewin+win pair",
                       "bs": bs, "ms": round(ms, 3)}), flush=True)
+
+    from flmm_tpu.ops import boundary as bnd
+
+    def pair_pl(x):
+        xw, geom = bnd.windowize(x, ws)
+        return bnd.dewindowize(xw + 0.0, geom, ws)
+
+    import numpy as np
+    a = np.asarray(jax.jit(pair)(x), np.float32)
+    b = np.asarray(jax.jit(pair_pl)(x), np.float32)
+    ms = timeit(pair_pl, x, iters=20)
+    print(json.dumps({"op": "boundary", "variant": "pallas dewin+win pair",
+                      "bs": bs, "ms": round(ms, 3),
+                      "max_abs_diff": float(np.max(np.abs(a - b)))}),
+          flush=True)
 
 
 def bench_tower(bs: int):

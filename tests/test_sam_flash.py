@@ -360,3 +360,31 @@ def test_sam_flash_v8_padded_s_parity_interpret():
                                   block_q=64, chunks=2)
     want = reference(q, k, v, rph, rpw, side)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_sam_flash_v11_no_max_parity_interpret():
+    """v11 (no-max base-2 softmax global): mathematically identical to v8
+    whenever no score overflows f32 exp2 (|logit| < ~88 nats); pinned
+    against the einsum reference at both the aligned and the lane-padded
+    (SAM-448-style) grid."""
+    from flmm_tpu.ops.sam_flash_experiments import sam_global_attention_v11
+
+    rng = np.random.default_rng(11)
+    for side in (16, 14):  # 256 tokens (aligned) and 196 (lane-padded)
+        G, hd = 2, 32
+        T = side * side
+        q = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        k = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        v = jnp.asarray(rng.standard_normal((G, T, hd)).astype(np.float32)
+                        * 0.3)
+        rph = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        rpw = jnp.asarray(rng.standard_normal((2 * side - 1, hd)).astype(
+            np.float32) * 0.1)
+        got = sam_global_attention_v11(q, k, v, rph, rpw, side,
+                                       interpret=True, block_q=64, chunks=4)
+        want = reference(q, k, v, rph, rpw, side)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-4, err_msg=f"v11 side={side}")

@@ -5,6 +5,7 @@ block semantics (segment_anything image_encoder.py Block:119-241)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from flmm_tpu.ops.window_block import (
     scaled_qkv_weights, window_block, window_rel_bias_from_x,
@@ -44,9 +45,6 @@ def _ref_tail(x, qkv_std, bias_hw_raw, wo, bo, ln2w, ln2b, w1, b1, w2, b2,
     xr = x + o @ wo + bo
     y = _ln(xr, ln2w, ln2b)
     return xr + _gelu(y @ w1 + b1) @ w2 + b2
-
-
-import pytest
 
 
 @pytest.mark.parametrize("bias_padded", [False, True])
