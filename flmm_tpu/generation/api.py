@@ -261,9 +261,36 @@ class Grounder:
             self.cfg.num_img_tokens, self.image_token_id, suffix=suffix,
             n_markers=n_markers)
 
-    def answer(self, image, question: str, max_new_tokens: int | None = None):
-        """Generate an answer while caching attention/hidden per step."""
-        ids, starts = self._encode_content(self.image_token + question)
+    def answer(self, image, question: str, max_new_tokens: int | None = None,
+               history: list | None = None):
+        """Generate an answer while caching attention/hidden per step.
+
+        ``history``: optional completed ``(question, answer)`` turns --
+        the multi-turn conversation memory of the reference's
+        ``_conversation`` helper (frozen_deepseek_vl.py:492-512): the
+        image rides the FIRST user turn, follow-ups are text-only, each
+        past turn closes with the template suffix."""
+        if history:
+            content = self.image_token + history[0][0]
+            rendered = tok.PromptSpec(self.prompt_template, content).render()
+            rendered += " " + history[0][1] + self.prompt_template.get(
+                "SUFFIX", "")
+            for q, a in history[1:]:
+                rendered += self.prompt_template["INSTRUCTION"].format(
+                    input=q)
+                rendered += " " + a + self.prompt_template.get("SUFFIX", "")
+            rendered += self.prompt_template["INSTRUCTION"].format(
+                input=question)
+            parts = rendered.split(self.image_token, 1)
+            ids_l = list(self.tokenizer.encode(
+                parts[0], add_special_tokens=True))
+            starts = [len(ids_l)]
+            ids_l += [self.image_token_id] * self.cfg.num_img_tokens
+            ids_l += list(self.tokenizer.encode(
+                parts[1], add_special_tokens=False))
+            ids = np.asarray(ids_l, np.int32)
+        else:
+            ids, starts = self._encode_content(self.image_token + question)
         img_start = starts[0]
         proc, sam = self._prepare_image(image)
         embeds = self._embed_tokens_with_image(ids, [proc["pixel_values"]],

@@ -47,10 +47,19 @@ def main():
     p.add_argument("--trained", default=None)
     p.add_argument("--tokenizer", required=True)
     p.add_argument("--image", required=True)
-    p.add_argument("--text", required=True)
+    p.add_argument("--text", default=None,
+                   help="single-shot question (omit with --interactive)")
     p.add_argument("--out", default="grounded.png")
     p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--interactive", action="store_true",
+                   help="multi-turn conversation on stdin with per-chunk "
+                        "grounding confirmation (reference "
+                        "grounded_conversation.py:48 asks 'Ground X?' per "
+                        "noun chunk; conversation memory per "
+                        "frozen_deepseek_vl.py:492-512)")
     args = p.parse_args()
+    if args.text is None and not args.interactive:
+        p.error("--text is required unless --interactive")
 
     from transformers import AutoTokenizer
 
@@ -84,26 +93,55 @@ def main():
     )
 
     image = Image.open(args.image).convert("RGB")
-    out = grounder.answer(image, args.text)
-    print("Answer:", out["output_text"])
 
-    chunks = noun_chunks(out["output_text"])
-    spans = []
-    labels = []
-    for s_char, e_char, phrase in chunks:
-        span = char_span_to_token_span(tokenizer, list(out["output_ids"]),
-                                       (s_char, e_char))
-        if span:
-            spans.append(span)
-            labels.append(phrase)
-    if not spans:
-        print("no noun phrases found to ground")
+    def ground_turn(out, out_path, confirm: bool):
+        chunks = noun_chunks(out["output_text"])
+        spans, labels = [], []
+        for s_char, e_char, phrase in chunks:
+            if confirm:
+                try:
+                    resp = input(f"Ground {phrase!r}? [y/N] ").strip().lower()
+                except EOFError:
+                    resp = "n"
+                if resp not in ("y", "yes", "1"):
+                    continue
+            span = char_span_to_token_span(
+                tokenizer, list(out["output_ids"]), (s_char, e_char))
+            if span:
+                spans.append(span)
+                labels.append(phrase)
+        if not spans:
+            print("no noun phrases found to ground")
+            return
+        _, masks = grounder.ground(out, spans)
+        for phrase, m in zip(labels, masks):
+            print(f"  {phrase}: {int(m.sum())} px")
+        overlay(image, masks, labels).save(out_path)
+        print(f"saved {out_path}")
+
+    if not args.interactive:
+        out = grounder.answer(image, args.text)
+        print("Answer:", out["output_text"])
+        ground_turn(out, args.out, confirm=False)
         return
-    _, masks = grounder.ground(out, spans)
-    for phrase, m in zip(labels, masks):
-        print(f"  {phrase}: {int(m.sum())} px")
-    overlay(image, masks, labels).save(args.out)
-    print(f"saved {args.out}")
+
+    # multi-turn loop: conversation memory threads through
+    # Grounder.answer(history=...); per-chunk confirmation on stdin
+    history = []
+    stem = pathlib.Path(args.out)
+    while True:
+        try:
+            q = input("user> ").strip()
+        except EOFError:
+            break
+        if not q or q in ("exit", "quit"):
+            break
+        out = grounder.answer(image, q, history=history or None)
+        print("Answer:", out["output_text"])
+        turn_out = stem.with_name(
+            f"{stem.stem}_turn{len(history)}{stem.suffix}")
+        ground_turn(out, turn_out, confirm=True)
+        history.append((q, out["output_text"]))
 
 
 if __name__ == "__main__":

@@ -140,3 +140,34 @@ def test_visual_cot_cli_smoke(cli_world, tmp_path):
     results = json.loads((out / "toy.json").read_text())
     assert results and {"question", "thought", "bbox", "answer"} <= set(
         results[0])
+
+
+@pytest.mark.slow
+def test_grounded_conversation_interactive_smoke(cli_world, tmp_path):
+    """--interactive: two stdin turns with per-chunk confirmation
+    (reference grounded_conversation.py:48) and conversation memory
+    (frozen_deepseek_vl.py:492-512) -- driven over a pipe."""
+    from PIL import Image
+
+    img = tmp_path / "demo.jpg"
+    Image.new("RGB", (64, 48), (30, 90, 180)).save(img)
+    out = tmp_path / "chat.png"
+    # answer 'y' to every per-chunk prompt; two questions then EOF
+    stdin = "what do you see\ny\ny\ny\ny\nand where is it\ny\ny\ny\ny\n"
+    proc = subprocess.run(
+        [sys.executable, "scripts/demo/grounded_conversation.py",
+         "--family", "deepseek_vl", "--preset", "tiny",
+         "--checkpoint", cli_world["checkpoint"],
+         "--sam-checkpoint", cli_world["sam"],
+         "--tokenizer", cli_world["tokenizer"],
+         "--image", str(img), "--interactive",
+         "--max-new-tokens", "4", "--out", str(out)],
+        cwd=str(REPO), capture_output=True, text=True, timeout=1500,
+        input=stdin, env=CLI_ENV)
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+    # at least two turns answered (the history thread exercised: answers
+    # past the first carry the conversation memory); the random tiny
+    # model's noun chunks are unpredictable, so extra scripted lines may
+    # become further questions -- that only adds turns
+    assert proc.stdout.count("Answer:") >= 2, proc.stdout[-2000:]
+    assert "Ground " in proc.stdout, proc.stdout[-2000:]
