@@ -345,3 +345,7 @@ def test_alignment_padding_preserves_outputs(png_fixture):
                                np.asarray(o0["coarse_logits"]), atol=2e-4)
     np.testing.assert_allclose(np.asarray(o1["sam_logits"]),
                                np.asarray(o0["sam_logits"]), atol=2e-3)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -1,5 +1,6 @@
 """KV-cache decode parity vs the full-sequence forward pass."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -181,3 +182,7 @@ def test_decode_masked_pad_prompt_matches_full_forward():
     want = np.asarray(full["attn"])[0]  # (L, H, S, n)
     got = np.asarray(state["attn"])
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -91,3 +91,7 @@ def test_hybrid_tower_forward():
     assert "hires_pixel_values" in batch
     out = model.forward(params, cfg, batch)
     assert np.isfinite(np.asarray(out["sam_logits"])).all()
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

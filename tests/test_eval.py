@@ -1,5 +1,6 @@
 """Eval metric + runner tests."""
 
+import pytest
 import numpy as np
 
 from flmm_tpu.evalsuite.metrics import (
@@ -239,3 +240,7 @@ def test_run_eval_sharded_matches_host_path():
     assert any("thing" in k for k in outp), outp
     for k in hostp:
         assert abs(outp[k] - hostp[k]) < 1e-4, (k, outp, hostp)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -212,3 +212,7 @@ def test_grounder_with_fragmenting_tokenizer():
     t = out["attention_maps"].shape[2]
     _, masks = g.ground(out, [(0, t)])
     assert masks.shape == (1, 60, 90)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -113,3 +113,7 @@ def test_encoder_global_block_fused_parity():
     corr = np.corrcoef(np.asarray(got).ravel(),
                        np.asarray(want).ravel())[0, 1]
     assert corr > 0.99999
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

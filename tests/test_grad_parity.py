@@ -475,3 +475,7 @@ def test_schedule_matches_mmengine_formulas():
             want = cfg.lr * 0.5 * (1 + np.cos(np.pi * t))
         got = float(sched(step))
         assert abs(got - want) <= 0.02 * cfg.lr + 1e-12, (step, got, want)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -16,6 +16,7 @@ import pytest
 from tests.conftest import REPO
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import jax
 

@@ -132,3 +132,7 @@ def test_multimodal_forward_parity(tiny_hf_llava):
          for a in hf.attentions], axis=0)
     np.testing.assert_allclose(np.asarray(out["attn"])[0], want_attn,
                                atol=3e-5)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -1,5 +1,6 @@
 """LLaVA family path through the generic grounding core."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -90,3 +91,7 @@ def test_llava_frozen_released_key_layout(tmp_path):
                                   n_img=4)
     got = np.asarray(llm_mod.logits(frozen["llm"], d, out["last_hidden"]))
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

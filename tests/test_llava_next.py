@@ -192,3 +192,7 @@ def test_anyres_decode_capture_matches_forward(anyres_batch):
     want = np.asarray(full["attn"])[0]  # (L, H, S, n_img)
     got = np.asarray(state["attn"])
     np.testing.assert_allclose(got, want, atol=3e-5)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -164,3 +164,7 @@ def test_open_clip_bin_filename_loads(tmp_path):
     loaded = load_mod.load_state_dict(tmp_path)
     params = load_mod.convnext_params(loaded, cfg)
     assert params["stem_k"].shape == (4, 4, 3, 4)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -1,5 +1,6 @@
 """GPipe pipeline parallelism (parallel/pipeline.py) vs single-program."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -91,3 +92,7 @@ def test_pipeline_moe_stack():
         np.testing.assert_allclose(
             np.asarray(got[key]), np.asarray(want[key]), atol=2e-5,
             err_msg=key)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

@@ -1,5 +1,6 @@
 """Int8 quantization (ops/quant.py) — accuracy vs the f32 path."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -75,3 +76,7 @@ def test_pipeline_int8_sam_stability():
         grounding.quantize_frozen_sam(params), cfg, batch)["sam_logits"]
     dp = np.abs(jax.nn.sigmoid(got) - jax.nn.sigmoid(want))
     assert float(dp.mean()) < 0.02, float(dp.mean())
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

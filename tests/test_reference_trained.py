@@ -153,3 +153,7 @@ def test_reference_trained_bridge(bridge):
                                atol=3e-5)
     np.testing.assert_allclose(np.asarray(iou)[:, :1], want_iou.numpy(),
                                atol=3e-5)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

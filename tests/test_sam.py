@@ -353,3 +353,7 @@ def test_reduced_resolution_sam_schedule():
                          jnp.ones((M, 3), bool))
     assert out["low_res_logits"].shape == (M, 8, 8)
     assert np.isfinite(np.asarray(out["low_res_logits"])).all()
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

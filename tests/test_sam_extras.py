@@ -1,5 +1,6 @@
 """SamPredictor + AutomaticMaskGenerator smoke/behaviour tests."""
 
+import pytest
 import numpy as np
 import jax
 from PIL import Image
@@ -100,3 +101,7 @@ def test_export_roundtrip(tmp_path):
         jnp.zeros((1, 4, d), jnp.float32),
         jnp.zeros((1, 4), bool))
     assert np.isfinite(np.asarray(masks)).all()
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

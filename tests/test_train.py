@@ -175,3 +175,7 @@ def test_learns_to_ground_on_derivable_task(setup):
     # at step 340-400; thresholds leave noise margin
     assert mean_aiou > 0.55, (mean_aiou, tail_aiou)
     assert mean_sam > 0.45, (mean_sam, tail_sam)
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow

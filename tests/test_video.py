@@ -110,3 +110,7 @@ def test_video_frames_through_mgm_twin(tmp_path):
     loss, _metrics = model.loss_fn(
         params, cfg, jax.tree.map(jnp.asarray, batch))
     assert np.isfinite(float(loss))
+
+# heavy (jit compiles / torch oracles) -- excluded from the fast path
+# (pytest -m "not slow"; see README Testing strategy)
+pytestmark = pytest.mark.slow
