@@ -130,6 +130,15 @@ def build(batch_size: int):
     # (262 MB bf16 at 7B) so it does not occupy HBM in the serving graph
     if isinstance(params.get("frozen", {}).get("llm"), dict):
         params["frozen"]["llm"].pop("lm_head", None)
+    if os.environ.get("BENCH_QUANT_LLM") == "1":
+        # W8A8 int8 frozen decoder (llm.decoder.quantize_params): the
+        # serving mode that fits the 7B/8B flagships on one 16 GB chip
+        # (13.6 GB bf16 weights -> 6.9 GB; bs 2-4 becomes feasible at
+        # SAM-1024 where bf16 OOMs even at bs 1)
+        from flmm_tpu.models.llm import decoder as llm_dec
+
+        params["frozen"]["llm"] = llm_dec.quantize_params(
+            params["frozen"]["llm"])
     seq_len = int(os.environ.get("BENCH_SEQ", "672"))
     batch = jax.tree.map(
         jnp.asarray, _family_batch(cfg, family, batch_size, seq_len))

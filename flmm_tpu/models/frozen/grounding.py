@@ -122,6 +122,19 @@ def init_params(cfg: GroundingConfig, key: jax.Array) -> dict:
     }
 
 
+def quantize_frozen_llm(params: dict) -> dict:
+    """Int8-quantize the frozen decoder's projections (W8A8 serving mode).
+
+    The LLM never trains (reference frozen_llava.py:22), so this is a
+    pure deployment transform: halves the dominant HBM term of 7B/8B
+    single-chip serving (see llm.decoder.quantize_params)."""
+    out = dict(params)
+    fro = dict(params["frozen"])
+    fro["llm"] = llm.quantize_params(fro["llm"])
+    out["frozen"] = fro
+    return out
+
+
 def quantize_frozen_sam(params: dict) -> dict:
     """Int8-quantize the frozen SAM image encoder's projections (W8A8).
 

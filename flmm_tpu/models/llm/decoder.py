@@ -188,11 +188,24 @@ def _act(x: jnp.ndarray, kind: str) -> jnp.ndarray:
     raise ValueError(kind)
 
 
+def _dense(x: jnp.ndarray, lp: dict, name: str) -> jnp.ndarray:
+    """Projection that transparently takes the W8A8 int8 path when the
+    layer dict carries quantized weights (``<name>_q``/``<name>_s``,
+    :func:`quantize_params`) -- the serving mode that fits the 7B/8B
+    frozen decoders on one 16 GB chip (13.6 GB bf16 -> 6.9 GB)."""
+    w_q = lp.get(name + "_q")
+    if w_q is not None:
+        from flmm_tpu.ops.quant import int8_matmul
+
+        return int8_matmul(x, w_q, lp[name + "_s"])
+    return x @ lp[name]
+
+
 def _mlp(x2: jnp.ndarray, lp: dict, cfg: "DecoderConfig") -> jnp.ndarray:
     """Dense SwiGLU MLP or Mixtral sparse-MoE (computed densely)."""
     if cfg.num_experts == 0:
-        return (_act(x2 @ lp["w_gate"], cfg.act) * (x2 @ lp["w_up"])) @ lp[
-            "w_down"]
+        h = _act(_dense(x2, lp, "w_gate"), cfg.act) * _dense(x2, lp, "w_up")
+        return _dense(h, lp, "w_down")
     # Mixtral router: softmax over the top-k expert logits per token
     logits = (x2 @ lp["router"]).astype(jnp.float32)  # (..., E)
     top_vals, _ = jax.lax.top_k(logits, cfg.num_experts_per_tok)
@@ -248,9 +261,9 @@ def layer_step(
     if shard_constraint is not None:
         h = shard_constraint(h)
     x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
-    q = x @ lp["wq"]
-    k = x @ lp["wk"]
-    v = x @ lp["wv"]
+    q = _dense(x, lp, "wq")
+    k = _dense(x, lp, "wk")
+    v = _dense(x, lp, "wv")
     if cfg.attn_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -287,7 +300,7 @@ def layer_step(
             "bhst,bthd->bshd", probs.astype(cfg.dtype), v,
             preferred_element_type=jnp.float32,
         ).astype(cfg.dtype)
-    attn_out = out.reshape(B, S, H * hd) @ lp["wo"]
+    attn_out = _dense(out.reshape(B, S, H * hd), lp, "wo")
     h = h + attn_out
 
     x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
@@ -444,3 +457,33 @@ def logits(params: Params, cfg: DecoderConfig, last_hidden: jnp.ndarray) -> jnp.
 
 def embed_tokens(params: Params, cfg: DecoderConfig, ids: jnp.ndarray) -> jnp.ndarray:
     return params["embed"][ids]
+
+
+def quantize_params(params: Params) -> Params:
+    """Int8-quantize the frozen decoder's layer projections (W8A8).
+
+    Per-(layer, output-channel) symmetric scales over the stacked
+    ``(L, in, out)`` weights; activations quantize dynamically inside
+    ``ops.quant.int8_matmul``.  Halves the dominant HBM cost of 7B/8B
+    serving (13.6 GB bf16 -> 6.9 GB) so those flagships fit ONE 16 GB
+    chip; on v5e the MXU int8 rate equals bf16 (measured round 2), so
+    this buys memory, not FLOPs.  ``embed``/``final_norm``/``lm_head``
+    stay in the original dtype.  Mixtral MoE expert stacks are left
+    unquantized (the dense-capture einsum path reads them directly, and
+    8x7B is a tp-only model regardless of precision).
+    """
+    out = {k: v for k, v in params.items() if k != "layers"}
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        w = layers.get(name)
+        if w is None or w.ndim != 3:  # absent, or (L, E, ...) MoE stack
+            continue
+        layers.pop(name)
+        wf = jnp.asarray(w, jnp.float32)
+        scale = jnp.maximum(jnp.abs(wf).max(axis=-2), 1e-8) / 127.0
+        w_q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127,
+                       127).astype(jnp.int8)
+        layers[name + "_q"] = w_q
+        layers[name + "_s"] = scale
+    out["layers"] = layers
+    return out

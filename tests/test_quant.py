@@ -80,3 +80,39 @@ def test_pipeline_int8_sam_stability():
 # heavy (jit compiles / torch oracles) -- excluded from the fast path
 # (pytest -m "not slow"; see README Testing strategy)
 pytestmark = pytest.mark.slow
+
+
+def test_decoder_int8_close_to_dense():
+    """W8A8 frozen decoder (llm.decoder.quantize_params): the capture
+    forward's attention maps and hidden states stay close to the dense
+    path -- the serving mode that fits 7B/8B on one 16 GB chip."""
+    from flmm_tpu.configs.deepseek_vl import tiny
+    from flmm_tpu.models.llm import decoder as llm
+
+    cfg = tiny().llm
+    params = llm.init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    B, S, M = 2, 24, 2
+    embeds = jnp.asarray(
+        rng.standard_normal((B, S, cfg.hidden_size)).astype(np.float32) * 0.3)
+    mask = jnp.ones((B, S), bool)
+    mm = jnp.asarray((rng.random((B, S, M)) > 0.7).astype(np.float32))
+    lw = jax.nn.softmax(jnp.asarray(rng.standard_normal(cfg.num_layers)))
+
+    def run(p):
+        out = llm.forward_capture(
+            p, cfg, embeds, mask, img_start=3, n_img=8,
+            merge_matrix=mm, layer_weights=lw)
+        return out
+
+    want = run(params)
+    got = run(llm.quantize_params(params))
+    for k in ("attn", "hidden", "last_hidden"):
+        a = np.asarray(want[k], np.float32).ravel()
+        b = np.asarray(got[k], np.float32).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.999, (k, corr)
+    # the quantized tree actually halves the layer-weight bytes
+    def nbytes(p):
+        return sum(x.nbytes for x in jax.tree.leaves(p["layers"]))
+    assert nbytes(llm.quantize_params(params)) < 0.6 * nbytes(params)

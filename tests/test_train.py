@@ -119,14 +119,21 @@ def test_metric_logger_and_timer(tmp_path):
 
 def test_overfit_single_batch_improves_iou(setup):
     """End-to-end learning signal: 60 steps on one batch must push the
-    coarse-head IoU up substantially (the whole pipeline is trainable)."""
+    coarse-head IoU up substantially (the whole pipeline is trainable).
+
+    Recipe note (round 5): with the reference-EXACT loss weighting
+    (per-sample pixel means weighted by mask count; grounding_losses)
+    the old bs2/seed7/lr5e-3 point falls into the all-empty coarse basin
+    (loss decreases, aiou pins at 0) -- the same basin the torch
+    reference transcription falls into in the twin race.  bs4/lr3e-3
+    overfits cleanly (aiou 0.85 at step 60, 1.0 at 160; measured)."""
     cfg, params, _ = setup
     batch = jax.tree.map(
         jnp.asarray,
         __import__("flmm_tpu.data.synthetic", fromlist=["synthetic_batch"])
-        .synthetic_batch(cfg, batch_size=2, seed=7))
+        .synthetic_batch(cfg, batch_size=4, seed=0))
     opt = train_loop.make_optimizer(train_loop.OptimConfig(
-        lr=5e-3, total_steps=80, warmup_ratio=0.0))
+        lr=3e-3, total_steps=80, warmup_ratio=0.0))
     state = train_loop.init_state(
         jax.tree.map(jnp.copy, params["trainable"]), opt)
     step = jax.jit(train_loop.make_train_step(
