@@ -138,7 +138,7 @@ def build(batch_size: int):
         from flmm_tpu.models.llm import decoder as llm_dec
 
         params["frozen"]["llm"] = llm_dec.quantize_params(
-            params["frozen"]["llm"])
+            params["frozen"]["llm"], consume=True)
     seq_len = int(os.environ.get("BENCH_SEQ", "672"))
     batch = jax.tree.map(
         jnp.asarray, _family_batch(cfg, family, batch_size, seq_len))

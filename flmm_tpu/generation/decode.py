@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from flmm_tpu.models.llm.decoder import (
-    DecoderConfig, _mlp, apply_rope, rms_norm, rope_tables,
+    DecoderConfig, _dense, _mlp, apply_rope, rms_norm, rope_tables,
 )
 
 
@@ -43,9 +43,9 @@ def _layer_step(
     S_tot = k_cache.shape[0]
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
-    q = x @ lp["wq"]
-    k = x @ lp["wk"]
-    v = x @ lp["wv"]
+    q = _dense(x, lp, "wq")
+    k = _dense(x, lp, "wk")
+    v = _dense(x, lp, "wv")
     if cfg.attn_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -70,7 +70,7 @@ def _layer_step(
     logits = jnp.where(mask[None, :], logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1)  # (H, S_tot)
     out = jnp.einsum("ht,thd->hd", probs.astype(h.dtype), vv).reshape(1, -1)
-    h = h + out @ lp["wo"]
+    h = h + _dense(out, lp, "wo")
     x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
     h = h + _mlp(x2[None], lp, cfg)[0]
     img_probs = jax.lax.dynamic_slice_in_dim(probs, img_start, n_img, axis=1)
@@ -122,9 +122,9 @@ def prefill(
         h, acc = carry
         lp, w_l = xs
         x = rms_norm(h, lp["ln1"], cfg.rms_eps, cfg.gemma_norm)
-        q = x @ lp["wq"]
-        k = x @ lp["wk"]
-        v = x @ lp["wv"]
+        q = _dense(x, lp, "wq")
+        k = _dense(x, lp, "wk")
+        v = _dense(x, lp, "wv")
         if cfg.attn_bias:
             q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
         q = apply_rope(q.reshape(1, S, H, hd), cos, sin)
@@ -143,7 +143,7 @@ def prefill(
         out = jnp.einsum(
             "bhst,bthd->bshd", probs.astype(cfg.dtype), vfull
         ).reshape(1, S, -1)
-        h = h + out @ lp["wo"]
+        h = h + _dense(out, lp, "wo")
         x2 = rms_norm(h, lp["ln2"], cfg.rms_eps, cfg.gemma_norm)
         h = h + _mlp(x2, lp, cfg)
         img = jax.lax.dynamic_slice_in_dim(probs[0], img_start, n_img, axis=2)

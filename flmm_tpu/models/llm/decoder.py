@@ -459,7 +459,7 @@ def embed_tokens(params: Params, cfg: DecoderConfig, ids: jnp.ndarray) -> jnp.nd
     return params["embed"][ids]
 
 
-def quantize_params(params: Params) -> Params:
+def quantize_params(params: Params, consume: bool = False) -> Params:
     """Int8-quantize the frozen decoder's layer projections (W8A8).
 
     Per-(layer, output-channel) symmetric scales over the stacked
@@ -471,19 +471,49 @@ def quantize_params(params: Params) -> Params:
     stay in the original dtype.  Mixtral MoE expert stacks are left
     unquantized (the dense-capture einsum path reads them directly, and
     8x7B is a tp-only model regardless of precision).
+
+    Memory discipline: quantizing IN PLACE of a resident 7B bf16 tree
+    must not double peak HBM -- each stacked weight is processed with a
+    per-layer ``lax.map`` (the f32 transient is one layer slice, not
+    5.6 GB) and, with ``consume=True``, the bf16 original is DONATED and
+    its buffer explicitly deleted so HBM frees before the next leaf
+    (without this, bf16 + int8 co-resident OOM a 16 GB chip at every
+    batch size; measured).  ``consume=True`` MUTATES the input tree --
+    the caller must hold the only reference (donation silently degrades
+    to a copy when another reference pins the buffer).
     """
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def qleaf(w):
+        def one(wl):
+            wf = wl.astype(jnp.float32)
+            s = jnp.maximum(jnp.abs(wf).max(axis=-2), 1e-8) / 127.0
+            q = jnp.clip(jnp.round(wf / s[..., None, :]), -127,
+                         127).astype(jnp.int8)
+            return q, s
+        return jax.lax.map(one, w)
+
     out = {k: v for k, v in params.items() if k != "layers"}
-    layers = dict(params["layers"])
+    layers = params["layers"] if consume else dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
         w = layers.get(name)
         if w is None or w.ndim != 3:  # absent, or (L, E, ...) MoE stack
             continue
         layers.pop(name)
-        wf = jnp.asarray(w, jnp.float32)
-        scale = jnp.maximum(jnp.abs(wf).max(axis=-2), 1e-8) / 127.0
-        w_q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127,
-                       127).astype(jnp.int8)
+        w_q, scale = qleaf(w)
+        jax.block_until_ready(w_q)  # serialise so donation frees promptly
+        if consume and hasattr(w, "delete"):
+            try:
+                w.delete()  # belt-and-braces if donation copied
+            except Exception:
+                pass
+        del w
         layers[name + "_q"] = w_q
         layers[name + "_s"] = scale
+    if consume:
+        new = dict(params)
+        new["layers"] = layers
+        return new
     out["layers"] = layers
     return out
