@@ -140,6 +140,16 @@ def build(batch_size: int):
         params["frozen"]["llm"] = llm_dec.quantize_params(
             params["frozen"]["llm"], consume=True)
     seq_len = int(os.environ.get("BENCH_SEQ", "672"))
+    # S=672 is the measured-best deepseek layout, but the image block must
+    # fit: hpt air-1.5 carries 1024 image tokens at a 128-aligned start,
+    # so lower-bound S to img_start + num_img_tokens + caption room
+    # (128-aligned when the preset realigned the image block).
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    need = (base.img_start + base.num_img_tokens + 40
+            if family in ("deepseek_vl", "llava", "hpt") else 0)
+    if seq_len < need:
+        seq_len = (-(-need // 128) * 128 if base.img_start % 128 == 0
+                   else need)
     batch = jax.tree.map(
         jnp.asarray, _family_batch(cfg, family, batch_size, seq_len))
 
@@ -210,6 +220,7 @@ def main():
                 "value": round(ips, 3),
                 "unit": "img/s",
                 "vs_baseline": round(ips / target, 3),
+                "bs": bs,
             }))
             return
         except Exception as e:  # OOM etc: retry smaller
