@@ -82,6 +82,78 @@ def _family_batch(cfg, family: str, batch_size: int, seq_len: int):
     return b
 
 
+def _fabricate_int8_llm(llm_cfg, key):
+    """Random int8-quantized decoder tree, built directly on device.
+
+    For the random-weight throughput bench, materializing the bf16 tree
+    only to stream-quantize it wastes HBM: Llama-3-8B bf16 is 16.1 GB
+    and OOMs a 16 GB chip in init_params itself, before
+    ``llm.decoder.quantize_params`` can run (measured: hpt air-1.5).
+    Fabricate the exact tree quantize_params would return -- the layers'
+    3-D projections as ``<name>_q`` int8 + ``<name>_s`` f32 per-(layer,
+    out-channel) scales, embed/norms in the config dtype -- one leaf at
+    a time, so peak HBM is the int8 resident size (~8 GB at 8B).
+    """
+    import jax.tree_util as jtu
+
+    from flmm_tpu.models.llm import decoder as llm_dec
+
+    abstract = jax.eval_shape(lambda k: llm_dec.init_params(llm_cfg, k),
+                              key)
+    abstract.pop("lm_head", None)
+    layers = dict(abstract["layers"])
+    for name in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down"):
+        w = layers.get(name)
+        if w is None or w.ndim != 3:  # absent, or (L, E, ...) MoE stack
+            continue
+        layers.pop(name)
+        layers[name + "_q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
+        layers[name + "_s"] = jax.ShapeDtypeStruct(
+            w.shape[:-2] + w.shape[-1:], jnp.float32)
+    abstract = dict(abstract, layers=layers)
+
+    flat, treedef = jtu.tree_flatten_with_path(abstract)
+    keys = jax.random.split(key, len(flat))
+    vals = []
+    for k, (path, a) in zip(keys, flat):
+        name = getattr(path[-1], "key", "")
+        if a.dtype == jnp.int8:
+            def one(kk, shape=a.shape[1:]):
+                return jax.random.randint(kk, shape, -127, 128,
+                                          jnp.int32).astype(jnp.int8)
+            if a.size > 2**28 and a.ndim > 2:
+                # randint materializes int32 first: whole-tensor that is
+                # a 7.5 GB transient at the 8B (L, d, f) stacks -- bound
+                # it to one layer slice (same discipline as
+                # llm.decoder.init_params' big-tensor branch)
+                v = jax.lax.map(one, jax.random.split(k, a.shape[0]))
+            else:
+                v = one(k, a.shape)
+        elif name.endswith("_s"):
+            # scale so q*s has weight-like magnitude (~1/sqrt(fan_in))
+            v = jnp.full(a.shape, 3e-4, jnp.float32)
+        elif name.startswith("ln") or name == "final_norm":
+            v = (jnp.zeros(a.shape, a.dtype)
+                 if llm_cfg.gemma_norm else jnp.ones(a.shape, a.dtype))
+        else:  # embed / attn biases
+            v = (0.02 * jax.random.normal(k, a.shape,
+                                          jnp.float32)).astype(a.dtype)
+        jax.block_until_ready(v)
+        vals.append(v)
+    return jtu.tree_unflatten(treedef, vals)
+
+
+def _patch_layer_weights(tree, num_layers: int):
+    """Re-shape any ``text_layer_weights`` leaf to the real layer count
+    (the surrounding tree was initialised with a 1-layer llm twin)."""
+    if isinstance(tree, dict):
+        return {k: (jnp.ones((num_layers,), jnp.float32)
+                    if k == "text_layer_weights"
+                    else _patch_layer_weights(v, num_layers))
+                for k, v in tree.items()}
+    return tree
+
+
 def build(batch_size: int):
     family = os.environ.get("BENCH_FAMILY", "deepseek_vl")
     preset = os.environ.get("BENCH_PRESET", FLAGSHIP[family])
@@ -125,20 +197,36 @@ def build(batch_size: int):
         cfg = (dataclasses.replace(cfg, base=new_base)
                if hasattr(cfg, "base") else new_base)
     model = get_model(family)
-    params = model.init_params(cfg, jax.random.key(0))
+    quant = os.environ.get("BENCH_QUANT_LLM") == "1"
+    base = cfg.base if hasattr(cfg, "base") else cfg
+    if quant and family in ("deepseek_vl", "llava", "hpt"):
+        # W8A8 int8 frozen decoder: the serving mode that fits the
+        # 7B/8B flagships on one 16 GB chip.  Grounding-family benches
+        # never materialize the bf16 decoder at all: init the rest of
+        # the model with a 1-layer llm twin, then splice in a directly
+        # fabricated int8 tree (Llama-3-8B bf16 is 16.1 GB -- init
+        # itself OOMs before streaming quantization could help).
+        import dataclasses
+
+        small = dataclasses.replace(
+            base, llm=dataclasses.replace(base.llm, num_layers=1))
+        params = model.init_params(small, jax.random.key(0))
+        params = _patch_layer_weights(params, base.llm.num_layers)
+        params["frozen"]["llm"] = _fabricate_int8_llm(
+            base.llm, jax.random.key(1))
+    else:
+        params = model.init_params(cfg, jax.random.key(0))
+        if quant:
+            # non-grounding families: stream-quantize the resident tree
+            # (llm.decoder.quantize_params donates per leaf)
+            from flmm_tpu.models.llm import decoder as llm_dec
+
+            params["frozen"]["llm"] = llm_dec.quantize_params(
+                params["frozen"]["llm"], consume=True)
     # the grounding forward never projects to vocab: drop the lm_head
     # (262 MB bf16 at 7B) so it does not occupy HBM in the serving graph
     if isinstance(params.get("frozen", {}).get("llm"), dict):
         params["frozen"]["llm"].pop("lm_head", None)
-    if os.environ.get("BENCH_QUANT_LLM") == "1":
-        # W8A8 int8 frozen decoder (llm.decoder.quantize_params): the
-        # serving mode that fits the 7B/8B flagships on one 16 GB chip
-        # (13.6 GB bf16 weights -> 6.9 GB; bs 2-4 becomes feasible at
-        # SAM-1024 where bf16 OOMs even at bs 1)
-        from flmm_tpu.models.llm import decoder as llm_dec
-
-        params["frozen"]["llm"] = llm_dec.quantize_params(
-            params["frozen"]["llm"], consume=True)
     seq_len = int(os.environ.get("BENCH_SEQ", "672"))
     # S=672 is the measured-best deepseek layout, but the image block must
     # fit: hpt air-1.5 carries 1024 image tokens at a 128-aligned start,

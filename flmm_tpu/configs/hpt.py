@@ -60,6 +60,12 @@ def hpt_air_1_5(dtype=jnp.bfloat16, llm: DecoderConfig | None = None,
         vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
         num_kv_heads=8, head_dim=128, intermediate_size=14336,
         rope_theta=500000.0, rms_eps=1e-5, dtype=dtype,
+        # 1024 image tokens at S>=1280: the eager capture's image-block
+        # probability tensor (L*H*S*n_img f32 ~ 5.4 GB) OOMs a 16 GB
+        # chip next to the 8B weights; with a 128-aligned image block
+        # the flash-capture kernel emits only the reduced maps (same
+        # rule as configs/deepseek_vl.py:81)
+        use_flash_capture=img_start % 128 == 0,
     )
     vision = ViTConfig(
         hidden_size=1152, num_layers=27, num_heads=16, patch_size=14,
