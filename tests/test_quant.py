@@ -116,3 +116,28 @@ def test_decoder_int8_close_to_dense():
     def nbytes(p):
         return sum(x.nbytes for x in jax.tree.leaves(p["layers"]))
     assert nbytes(llm.quantize_params(params)) < 0.6 * nbytes(params)
+
+
+def test_fabricated_int8_tree_matches_quantize_params_structure():
+    """bench._fabricate_int8_llm must return the EXACT tree structure
+    llm.decoder.quantize_params produces (the serving forward consumes
+    either interchangeably); shapes/dtypes pinned leaf by leaf."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    import bench
+    from flmm_tpu.models.llm import decoder as llm_dec
+
+    cfg = llm_dec.DecoderConfig(
+        vocab_size=64, hidden_size=16, num_layers=3, num_heads=4,
+        num_kv_heads=2, head_dim=4, intermediate_size=32,
+        dtype=jnp.float32)
+    key = jax.random.key(0)
+    real = llm_dec.quantize_params(llm_dec.init_params(cfg, key))
+    real.pop("lm_head", None)
+    fab = bench._fabricate_int8_llm(cfg, key)
+
+    real_s = jax.tree.map(lambda a: (a.shape, str(a.dtype)), real)
+    fab_s = jax.tree.map(lambda a: (a.shape, str(a.dtype)), fab)
+    assert real_s == fab_s
